@@ -1,0 +1,223 @@
+"""Configuration tree: dataclass groups + YAML loader + CLI overrides.
+
+Mirrors the reference's three-tier parameter system
+(src/types/parameters.cpp:272-441 YAML groups, :182-270 CLI flags) with the
+same group and key names so reference configuration files translate
+directly.  Unknown keys warn instead of failing (the reference's
+PARSE_PARAMETER per-key error tolerance, parameters.cpp:36-44).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional
+
+import yaml
+
+
+@dataclass
+class CommandLineParameters:
+    # reference parameters.h:23-64
+    option_use_gui: bool = False
+    option_disable_relocalization: bool = False  # -open-loop
+    option_show_top_viewer: bool = False
+    option_drop_framepoints: bool = False
+    option_equalize_histogram: bool = False
+    option_use_odometry: bool = False
+    option_recover_landmarks: bool = True
+    option_save_pose_graph: bool = False
+    tracker_mode: str = "RGB_STEREO"  # RGB_STEREO | RGB_DEPTH
+    dataset_file_name: str = ""
+    configuration_file_name: str = ""
+
+
+@dataclass
+class LandmarkParameters:
+    # reference parameters.h:97-126
+    minimum_number_of_forced_updates: int = 2
+    maximum_translation_error_to_depth_ratio: float = 1.0
+    minimum_number_of_measurements_for_optimization: int = 2
+
+
+@dataclass
+class LocalMapParameters:
+    # reference parameters.h:128-137
+    minimum_number_of_landmarks: int = 50
+    maximum_number_of_landmarks: int = 1000
+
+
+@dataclass
+class WorldMapParameters:
+    # reference parameters.h:139-152; trigger logic world_map.cpp:108-111
+    minimum_distance_traveled_for_local_map: float = 0.5
+    minimum_degrees_rotated_for_local_map: float = 30.0
+    minimum_number_of_frames_for_local_map: int = 4
+
+
+@dataclass
+class FramepointGenerationParameters:
+    # reference parameters.h:154-257 (base/stereo/depth groups)
+    target_number_of_keypoints_tolerance: float = 0.1
+    detector_threshold_minimum: float = 5.0
+    detector_threshold_starting_value: float = 20.0
+    detector_threshold_maximum: float = 100.0
+    detector_threshold_maximum_change: float = 10.0
+    detector_type: str = "FAST"
+    descriptor_type: str = "ORB256"
+    bin_size_pixels: int = 16
+    capacity: int = 1024  # fixed keypoint capacity (TPU-native addition)
+    border_pixels: int = 20
+    matching_distance_tracking_threshold: int = 60
+    # stereo group (parameters.h:214-235)
+    maximum_matching_distance_triangulation: int = 60
+    minimum_disparity_pixels: float = 1.0
+    maximum_disparity_pixels: float = 200.0
+    maximum_epipolar_search_offset_pixels: float = 1.5
+    # depth group (parameters.h:237-257)
+    maximum_depth_meters: float = 10.0
+    minimum_depth_meters: float = 0.3
+    depth_scale_factor: float = 1e-3
+
+
+@dataclass
+class TrackingParameters:
+    # reference parameters.h:259-327
+    minimum_track_length_for_landmark_creation: int = 2
+    minimum_number_of_landmarks_to_track: int = 5
+    minimum_threshold_distance_tracking_pixels: int = 50
+    maximum_threshold_distance_tracking_pixels: int = 60
+    range_point_tracking: int = 2
+    maximum_distance_tracking_pixels: int = 150
+    good_tracking_ratio: float = 0.3
+    maximum_number_of_landmark_recoveries: int = 3
+    minimum_delta_angular_for_movement: float = 0.001
+    minimum_delta_translational_for_movement: float = 0.01
+    motion_model: str = "CONSTANT_VELOCITY"  # NONE | CONSTANT_VELOCITY
+    # aligner sub-group (parameters.h:66-95)
+    aligner_maximum_error_kernel: float = 25.0
+    aligner_damping: float = 1.0
+    aligner_maximum_number_of_iterations: int = 100
+    aligner_minimum_number_of_inliers: int = 20
+    aligner_minimum_inlier_ratio: float = 0.4
+
+
+@dataclass
+class RelocalizationParameters:
+    # reference parameters.h:329-356
+    preliminary_minimum_interspace_queries: int = 10
+    preliminary_minimum_matching_ratio: float = 0.1
+    minimum_number_of_matches_per_landmark: int = 20
+    minimum_matches_per_correspondence: int = 0
+    maximum_descriptor_distance: int = 60
+    aligner_type: str = "ICP"  # ICP (FAST-ICP variant: backend AA extension)
+    icp_minimum_number_of_inliers: int = 25
+    icp_minimum_inlier_ratio: float = 0.4
+    icp_maximum_error_kernel: float = 1.0
+
+
+@dataclass
+class GraphOptimizationParameters:
+    # reference parameters.h:358-429
+    optimization_algorithm: str = "GAUSS_NEWTON"  # GAUSS_NEWTON | LEVENBERG
+    enable_full_bundle_adjustment: bool = False
+    number_of_frames_per_bundle_adjustment: int = 100
+    maximum_number_of_iterations: int = 10
+    minimum_estimation_delta_for_update_meters: float = 0.001
+    base_information_frame: float = 1e4
+    free_translation_for_poses: bool = True
+    base_information_frame_factor_for_translation: float = 1e3
+    enable_robust_kernel_for_poses: bool = True
+    enable_robust_kernel_for_landmarks: bool = False
+
+
+@dataclass
+class VisualizationParameters:
+    enable_image_dump: bool = False
+    dump_directory: str = "/tmp/vslam_tpu_viz"
+
+
+@dataclass
+class ParallelismParameters:
+    """TPU-native addition: device mesh layout (no reference counterpart —
+    SURVEY.md §2.9)."""
+
+    mesh_shape: tuple = (1,)
+    mesh_axis_names: tuple = ("data",)
+    shard_landmarks: bool = True
+    shard_descriptor_db: bool = True
+
+
+@dataclass
+class ParameterCollection:
+    command_line: CommandLineParameters = field(default_factory=CommandLineParameters)
+    landmark: LandmarkParameters = field(default_factory=LandmarkParameters)
+    local_map: LocalMapParameters = field(default_factory=LocalMapParameters)
+    world_map: WorldMapParameters = field(default_factory=WorldMapParameters)
+    framepoint_generation: FramepointGenerationParameters = field(
+        default_factory=FramepointGenerationParameters
+    )
+    tracking: TrackingParameters = field(default_factory=TrackingParameters)
+    relocalization: RelocalizationParameters = field(
+        default_factory=RelocalizationParameters
+    )
+    graph_optimization: GraphOptimizationParameters = field(
+        default_factory=GraphOptimizationParameters
+    )
+    visualization: VisualizationParameters = field(
+        default_factory=VisualizationParameters
+    )
+    parallelism: ParallelismParameters = field(default_factory=ParallelismParameters)
+
+
+_GROUP_ALIASES = {
+    # reference YAML group names -> our fields (parameters.cpp:272-441)
+    "command_line": "command_line",
+    "landmark": "landmark",
+    "local_map": "local_map",
+    "world_map": "world_map",
+    "base_framepoint_generation": "framepoint_generation",
+    "stereo_framepoint_generation": "framepoint_generation",
+    "depth_framepoint_generation": "framepoint_generation",
+    "framepoint_generation": "framepoint_generation",
+    "tracking": "tracking",
+    "relocalization": "relocalization",
+    "graph_optimization": "graph_optimization",
+    "visualization": "visualization",
+    "parallelism": "parallelism",
+}
+
+
+def load_config(path: Optional[str] = None, overrides: Optional[dict] = None) -> ParameterCollection:
+    """Build a ParameterCollection from YAML + flat 'group.key' overrides."""
+    cfg = ParameterCollection()
+    if path:
+        with open(path) as f:
+            doc = yaml.safe_load(f) or {}
+        for group_name, values in doc.items():
+            target_name = _GROUP_ALIASES.get(group_name)
+            if target_name is None or not isinstance(values, dict):
+                print(f"[config] ignoring unknown group '{group_name}'")
+                continue
+            group = getattr(cfg, target_name)
+            for key, val in values.items():
+                if hasattr(group, key):
+                    cur = getattr(group, key)
+                    try:
+                        setattr(group, key, type(cur)(val) if cur is not None else val)
+                    except (TypeError, ValueError):
+                        setattr(group, key, val)
+                else:
+                    print(f"[config] ignoring unknown key '{group_name}/{key}'")
+    for dotted, val in (overrides or {}).items():
+        group_name, key = dotted.split(".", 1)
+        group = getattr(cfg, _GROUP_ALIASES[group_name])
+        cur = getattr(group, key)
+        setattr(group, key, type(cur)(val) if cur is not None else val)
+    return cfg
+
+
+def save_config(cfg: ParameterCollection, path: str) -> None:
+    doc = {f.name: dataclasses.asdict(getattr(cfg, f.name)) for f in dataclasses.fields(cfg)}
+    with open(path, "w") as f:
+        yaml.safe_dump(doc, f)

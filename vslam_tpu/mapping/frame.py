@@ -1,0 +1,178 @@
+"""Per-frame state and the fused front-end / tracking device programs.
+
+FrameState is the TPU-native replacement for the reference's
+Frame + FramePoint object graph (src/types/frame.h:92-106,
+src/types/frame_point.h:18-203): a fixed-capacity SoA pytree with a valid
+mask; the pointer-based temporal track (`previous`/`next`) becomes the
+integer columns `track_len` and `landmark_slot` carried forward by the
+tracker.
+
+Two fused jit programs do all per-frame device math:
+
+  process_stereo_pair  detect L/R -> describe L/R -> epipolar match ->
+                       triangulate -> compact (the reference's
+                       `initialize` + `compute`,
+                       stereo_framepoint_generator.cpp:73-133,135-426)
+  track_and_align      project prior points -> windowed Hamming match ->
+                       build 4D residuals -> robust GN pose solve (the
+                       reference's `track` + StereoUVAligner::converge,
+                       stereo_framepoint_generator.cpp:464-681 +
+                       stereouv_aligner.cpp:210-255)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from vslam_tpu.frontend import detect, matching, orb
+from vslam_tpu.ops import camera as cam_ops
+from vslam_tpu.ops import lie
+from vslam_tpu.solve import aligners, gn
+
+
+class FrameState(NamedTuple):
+    """Stereo framepoints of one frame (capacity K, masked, compacted)."""
+
+    uv4: jnp.ndarray  # (K, 4) [uL, vL, uR, vR]
+    desc: jnp.ndarray  # (K, 8) uint32 left descriptors
+    p_cam: jnp.ndarray  # (K, 3) points in this camera's frame
+    valid: jnp.ndarray  # (K,) bool
+    track_len: jnp.ndarray  # (K,) int32, 1 for fresh stereo points
+    landmark_slot: jnp.ndarray  # (K,) int32 into the landmark table, -1 none
+
+    @property
+    def capacity(self):
+        return self.uv4.shape[0]
+
+
+def empty_frame(capacity: int) -> FrameState:
+    return FrameState(
+        uv4=jnp.zeros((capacity, 4), jnp.float32),
+        desc=jnp.zeros((capacity, 8), jnp.uint32),
+        p_cam=jnp.zeros((capacity, 3), jnp.float32),
+        valid=jnp.zeros(capacity, bool),
+        track_len=jnp.zeros(capacity, jnp.int32),
+        landmark_slot=jnp.full(capacity, -1, jnp.int32),
+    )
+
+
+def _compact(order_key: jnp.ndarray, *arrays):
+    """Stable-sort arrays so rows with order_key False go first... inverted:
+    valid rows first.  order_key: (K,) bool valid."""
+    perm = jnp.argsort(~order_key, stable=True)
+    return tuple(a[perm] for a in arrays)
+
+
+@partial(jax.jit, static_argnames=("capacity", "bin_size", "border"))
+def process_stereo_pair(
+    cam: cam_ops.CameraParams,
+    img_l: jnp.ndarray,
+    img_r: jnp.ndarray,
+    threshold: jnp.ndarray,
+    max_hamming_stereo: jnp.ndarray,
+    epipolar_tol: jnp.ndarray,
+    min_disparity: jnp.ndarray,
+    max_disparity: jnp.ndarray,
+    capacity: int = 1024,
+    bin_size: int = 16,
+    border: int = 20,
+):
+    """Full stereo front-end for one image pair, one XLA program.
+
+    Returns (FrameState, n_keypoints_left (int32), n_framepoints (int32)).
+    """
+    kl = detect.detect_keypoints(img_l, threshold, bin_size, capacity, border)
+    kr = detect.detect_keypoints(img_r, threshold, bin_size, capacity, border)
+    dl = orb.describe(img_l, kl.uv)
+    dr = orb.describe(img_r, kr.uv)
+
+    m = matching.match_stereo(
+        kl.uv, dl, kl.valid, kr.uv, dr, kr.valid,
+        max_hamming_stereo, epipolar_tol, min_disparity, max_disparity,
+    )
+    uv_l = kl.uv
+    uv_r = kr.uv[m.right_idx]
+    p_cam, tri_ok = cam_ops.triangulate_disparity(cam, uv_l, uv_r, 1.0)
+    valid = m.valid & kl.valid & tri_ok
+
+    uv4 = jnp.concatenate([uv_l, uv_r], axis=1)
+    uv4, desc, p_cam, valid = _compact(valid, uv4, dl, p_cam, valid)
+    frame = FrameState(
+        uv4=uv4,
+        desc=desc,
+        p_cam=p_cam,
+        valid=valid,
+        track_len=jnp.where(valid, 1, 0).astype(jnp.int32),
+        landmark_slot=jnp.full(capacity, -1, jnp.int32),
+    )
+    return frame, jnp.sum(kl.valid).astype(jnp.int32), jnp.sum(valid).astype(jnp.int32)
+
+
+class TrackResult(NamedTuple):
+    T_cur_prev: jnp.ndarray  # (4, 4) estimated camera motion
+    prev_to_cur: jnp.ndarray  # (Kprev,) int32 index into cur frame, -1 unmatched
+    n_matches: jnp.ndarray  # int32
+    n_inliers: jnp.ndarray  # int32
+    mean_chi2: jnp.ndarray  # f32
+    converged: jnp.ndarray  # bool
+
+
+@partial(jax.jit, static_argnames=("gn_config",))
+def track_and_align(
+    cam: cam_ops.CameraParams,
+    prev: FrameState,
+    cur: FrameState,
+    T_guess: jnp.ndarray,  # (4, 4) prev-camera -> cur-camera
+    radius_px: jnp.ndarray,
+    max_hamming: jnp.ndarray,
+    point_weights: jnp.ndarray,  # (Kprev,) landmark-informed weights
+    gn_config: gn.GNConfig = gn.GNConfig(),
+) -> TrackResult:
+    """Track prev framepoints into cur and solve for the camera motion."""
+    p_pred = lie.transform_point_cloud(T_guess, prev.p_cam)
+    proj_uv, z_pred = cam_ops.project(cam, p_pred)
+    predictable = prev.valid & (z_pred > 0.05)
+
+    m = matching.match_projective(
+        proj_uv, prev.desc, predictable,
+        cur.uv4[:, :2], cur.desc, cur.valid,
+        radius_px, max_hamming,
+    )
+    matched = m.valid & predictable
+
+    data = aligners.StereoUVData(
+        p_prev=prev.p_cam,
+        meas=cur.uv4[m.cur_idx],
+        weight=point_weights,
+    )
+    res = aligners.stereo_uv_align(cam, data, matched, T_guess, gn_config)
+
+    prev_to_cur = jnp.where(matched, m.cur_idx, -1).astype(jnp.int32)
+    return TrackResult(
+        T_cur_prev=res.x,
+        prev_to_cur=prev_to_cur,
+        n_matches=jnp.sum(matched).astype(jnp.int32),
+        n_inliers=res.num_inliers,
+        mean_chi2=res.chi2,
+        converged=res.converged,
+    )
+
+
+@jax.jit
+def propagate_tracks(
+    prev: FrameState, cur: FrameState, prev_to_cur: jnp.ndarray
+) -> FrameState:
+    """Carry track length and landmark links from prev into matched cur
+    slots (the reference's FramePoint::setPrevious chain,
+    frame_point.cpp:43-55, as a scatter)."""
+    matched = prev_to_cur >= 0
+    tgt = jnp.where(matched, prev_to_cur, 0)
+    new_len = cur.track_len.at[tgt].add(jnp.where(matched, prev.track_len, 0))
+    new_lm = cur.landmark_slot.at[tgt].max(
+        jnp.where(matched, prev.landmark_slot, -1)
+    )
+    return cur._replace(track_len=new_len, landmark_slot=new_lm)

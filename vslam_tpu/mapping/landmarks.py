@@ -1,0 +1,156 @@
+"""Device-resident landmark table with host-side slot allocation.
+
+The TPU-native replacement for the reference's heap-allocated Landmark
+objects and their per-landmark Gauss-Newton refinement
+(src/types/landmark.h:20-35, landmark.cpp:66-167): fixed-capacity device
+arrays (SoA), batched information-form GN updates (solve/aligners.py
+update_landmarks), and a host free-list for allocation — landmark `merge`
+(landmark.cpp:169-265) becomes id-relabeling over these columns
+(mapping/merging.py).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vslam_tpu.ops import camera as cam_ops
+from vslam_tpu.ops import lie
+from vslam_tpu.solve import aligners
+
+
+class LandmarkTable(NamedTuple):
+    xyz_w: jnp.ndarray  # (M, 3) world positions
+    H_acc: jnp.ndarray  # (M, 3, 3) accumulated information
+    desc: jnp.ndarray  # (M, 8) uint32 most recent descriptor
+    n_updates: jnp.ndarray  # (M,) int32
+    last_seen: jnp.ndarray  # (M,) int32 frame index
+    valid: jnp.ndarray  # (M,) bool
+
+    @property
+    def capacity(self):
+        return self.xyz_w.shape[0]
+
+
+def empty_table(capacity: int) -> LandmarkTable:
+    return LandmarkTable(
+        xyz_w=jnp.zeros((capacity, 3), jnp.float32),
+        H_acc=jnp.zeros((capacity, 3, 3), jnp.float32),
+        desc=jnp.zeros((capacity, 8), jnp.uint32),
+        n_updates=jnp.zeros(capacity, jnp.int32),
+        last_seen=jnp.full(capacity, -1, jnp.int32),
+        valid=jnp.zeros(capacity, bool),
+    )
+
+
+@jax.jit
+def landmark_weights(table: LandmarkTable, slots: jnp.ndarray) -> jnp.ndarray:
+    """Per-framepoint pose-solver weight: 1 + log(1 + n_updates) for
+    landmark-backed points, 1 otherwise (reference
+    stereouv_aligner.cpp:40-46)."""
+    has_lm = slots >= 0
+    n = table.n_updates[jnp.where(has_lm, slots, 0)]
+    w = 1.0 + jnp.log1p(n.astype(jnp.float32))
+    return jnp.where(has_lm, w, 1.0)
+
+
+@jax.jit
+def spawn_landmarks(
+    table: LandmarkTable,
+    new_slots: jnp.ndarray,  # (S,) int32 table slots to fill (-1 = unused row)
+    xyz_w: jnp.ndarray,  # (S, 3) initial world positions
+    desc: jnp.ndarray,  # (S, 8)
+    frame_idx: jnp.ndarray,
+) -> LandmarkTable:
+    """Scatter freshly-created landmarks into their assigned slots."""
+    use = new_slots >= 0
+    tgt = jnp.where(use, new_slots, 0)
+    # Write with per-row predication: rows with use=False write their own
+    # current values back (no-op writes at slot 0 would corrupt it).
+    xyz_cur = table.xyz_w[tgt]
+    desc_cur = table.desc[tgt]
+    return table._replace(
+        xyz_w=table.xyz_w.at[tgt].set(jnp.where(use[:, None], xyz_w, xyz_cur)),
+        H_acc=table.H_acc.at[tgt].set(
+            jnp.where(use[:, None, None], jnp.zeros((3, 3), jnp.float32), table.H_acc[tgt])
+        ),
+        desc=table.desc.at[tgt].set(jnp.where(use[:, None], desc, desc_cur)),
+        n_updates=table.n_updates.at[tgt].set(
+            jnp.where(use, 1, table.n_updates[tgt])
+        ),
+        last_seen=table.last_seen.at[tgt].set(
+            jnp.where(use, frame_idx, table.last_seen[tgt])
+        ),
+        valid=table.valid.at[tgt].set(jnp.where(use, True, table.valid[tgt])),
+    )
+
+
+@jax.jit
+def update_observed(
+    cam: cam_ops.CameraParams,
+    table: LandmarkTable,
+    T_world_cam: jnp.ndarray,
+    slots: jnp.ndarray,  # (K,) landmark slot per framepoint (-1 none)
+    uv4: jnp.ndarray,  # (K, 4) stereo measurements
+    desc: jnp.ndarray,  # (K, 8) current descriptors
+    point_valid: jnp.ndarray,  # (K,)
+    frame_idx: jnp.ndarray,
+) -> LandmarkTable:
+    """Batched GN refinement of all landmarks observed this frame.
+
+    Scatters frame measurements into table-aligned arrays, runs the vmapped
+    information-form update, refreshes descriptors / counters.
+    """
+    M = table.capacity
+    obs = point_valid & (slots >= 0)
+    tgt = jnp.where(obs, slots, 0)
+
+    meas = jnp.zeros((M, 4), jnp.float32)
+    meas_cur = meas[tgt]
+    meas = meas.at[tgt].set(jnp.where(obs[:, None], uv4, meas_cur))
+    obs_mask = jnp.zeros(M, bool).at[tgt].set(obs) & table.valid
+
+    xyz_new, H_new, chi2, inlier = aligners.update_landmarks(
+        cam, table.xyz_w, table.H_acc, T_world_cam, meas, obs_mask
+    )
+
+    desc_scat = table.desc.at[tgt].set(jnp.where(obs[:, None], desc, table.desc[tgt]))
+    return table._replace(
+        xyz_w=xyz_new,
+        H_acc=H_new,
+        desc=desc_scat,
+        n_updates=table.n_updates + obs_mask.astype(jnp.int32),
+        last_seen=jnp.where(obs_mask, frame_idx, table.last_seen),
+    )
+
+
+class SlotAllocator:
+    """Host-side free-list over table slots (replaces heap allocation of
+    Landmark objects, world_map.cpp:74-92)."""
+
+    def __init__(self, capacity: int):
+        self.capacity = capacity
+        self._next = 0
+        self._free: list[int] = []
+
+    def allocate(self, n: int) -> np.ndarray:
+        out = []
+        while n > 0 and self._free:
+            out.append(self._free.pop())
+            n -= 1
+        take = min(n, self.capacity - self._next)
+        out.extend(range(self._next, self._next + take))
+        self._next += take
+        # If the table is full, excess requests get -1 (callers skip them).
+        out.extend([-1] * (n - take))
+        return np.asarray(out, np.int32)
+
+    def release(self, slots) -> None:
+        self._free.extend(int(s) for s in np.asarray(slots) if s >= 0)
+
+    @property
+    def num_allocated(self) -> int:
+        return self._next - len(self._free)

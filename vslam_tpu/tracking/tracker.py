@@ -1,0 +1,253 @@
+"""Per-frame odometry: the host-side state machine driving device kernels.
+
+The TPU-native PoseTracker3D (reference src/position_tracking/
+pose_tracker_3d.cpp): motion-model guess, Localizing/Tracking states,
+registration with adaptive-search retries (`_registerRecursive`,
+pose_tracker_3d.cpp:300-419), adaptive tracking window and descriptor gate
+(:251-288), landmark creation/update (:475-549) and fallback estimation
+(:551-566).  All O(N) math happens in the three fused jit programs of
+mapping/frame.py + mapping/landmarks.py; this class only makes scalar
+decisions, so per-frame host<->device traffic is a handful of scalars.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vslam_tpu.frontend import detect as detect_mod
+from vslam_tpu.io.config import ParameterCollection
+from vslam_tpu.mapping import frame as frame_mod
+from vslam_tpu.mapping import landmarks as lm_mod
+from vslam_tpu.ops import camera as cam_ops
+from vslam_tpu.ops import lie
+from vslam_tpu.solve import gn
+
+LOCALIZING = "Localizing"
+TRACKING = "Tracking"
+
+
+@dataclass
+class TrackerStats:
+    n_frames: int = 0
+    n_tracked_points: int = 0
+    n_inliers: int = 0
+    n_keypoints: int = 0
+    n_framepoints: int = 0
+    tracking_ratio: float = 0.0
+    n_breaks: int = 0
+    stage_seconds: dict = field(default_factory=dict)
+
+    def add_time(self, stage: str, dt: float):
+        self.stage_seconds[stage] = self.stage_seconds.get(stage, 0.0) + dt
+
+
+class PoseTracker:
+    def __init__(
+        self,
+        cam: cam_ops.CameraParams,
+        config: ParameterCollection,
+        landmark_capacity: int = 65536,
+    ):
+        self.cam = cam
+        self.cfg = config
+        fp = config.framepoint_generation
+        tr = config.tracking
+
+        self.capacity = fp.capacity
+        self.controller = detect_mod.ThresholdController(
+            initial=fp.detector_threshold_starting_value,
+            target_count=int(
+                (cam.rows // fp.bin_size_pixels) * (cam.cols // fp.bin_size_pixels) * 0.7
+            ),
+            max_change=fp.detector_threshold_maximum_change,
+            minimum=fp.detector_threshold_minimum,
+            maximum=fp.detector_threshold_maximum,
+        )
+        self.gn_config = gn.GNConfig(
+            max_iterations=tr.aligner_maximum_number_of_iterations,
+            kernel_max_error=tr.aligner_maximum_error_kernel,
+            damping=tr.aligner_damping,
+            min_num_inliers=tr.aligner_minimum_number_of_inliers,
+        )
+
+        # Adaptive search state (reference pose_tracker_3d.cpp:251-288).
+        self.radius_px = float(tr.minimum_threshold_distance_tracking_pixels)
+        self.desc_gate = float(fp.matching_distance_tracking_threshold)
+
+        self.table = lm_mod.empty_table(landmark_capacity)
+        self.allocator = lm_mod.SlotAllocator(landmark_capacity)
+
+        self.status = LOCALIZING
+        self.prev_frame: frame_mod.FrameState | None = None
+        self.T_world_cam = np.eye(4, dtype=np.float32)
+        self.last_motion = np.eye(4, dtype=np.float32)  # T_cur_prev estimate
+        self.frame_idx = 0
+        self.stats = TrackerStats()
+        self.trajectory: list[np.ndarray] = []
+
+    # ------------------------------------------------------------------
+    def _front_end(self, img_l, img_r):
+        fp = self.cfg.framepoint_generation
+        frame, n_kp, n_fp = frame_mod.process_stereo_pair(
+            self.cam,
+            jnp.asarray(img_l, jnp.float32),
+            jnp.asarray(img_r, jnp.float32),
+            jnp.float32(self.controller.threshold),
+            jnp.int32(fp.maximum_matching_distance_triangulation),
+            jnp.float32(fp.maximum_epipolar_search_offset_pixels),
+            jnp.float32(fp.minimum_disparity_pixels),
+            jnp.float32(fp.maximum_disparity_pixels),
+            capacity=fp.capacity,
+            bin_size=fp.bin_size_pixels,
+            border=fp.border_pixels,
+        )
+        n_kp = int(n_kp)
+        self.controller.update(n_kp)
+        return frame, n_kp, int(n_fp)
+
+    def _register(self, cur_frame, T_guess):
+        """Adaptive-retry registration (reference _registerRecursive:
+        <=2 retries with widened window, then identity guess)."""
+        tr = self.cfg.tracking
+        weights = lm_mod.landmark_weights(self.table, self.prev_frame.landmark_slot)
+        attempts = [
+            (self.radius_px, self.desc_gate, T_guess),
+            (min(2.0 * self.radius_px, tr.maximum_distance_tracking_pixels),
+             min(self.desc_gate + 10, 90.0), T_guess),
+            (tr.maximum_distance_tracking_pixels, 90.0, np.eye(4, dtype=np.float32)),
+        ]
+        for radius, gate, guess in attempts:
+            res = frame_mod.track_and_align(
+                self.cam,
+                self.prev_frame,
+                cur_frame,
+                jnp.asarray(guess),
+                jnp.float32(radius),
+                jnp.int32(int(gate)),
+                weights,
+                self.gn_config,
+            )
+            n_inl = int(res.n_inliers)
+            if bool(res.converged) and n_inl >= tr.aligner_minimum_number_of_inliers:
+                return res, True
+        return res, False
+
+    def _adapt_search(self, tracking_ratio: float):
+        """Grow the window when tracking is poor, shrink when strong
+        (reference pose_tracker_3d.cpp:251-288)."""
+        tr = self.cfg.tracking
+        if tracking_ratio < tr.good_tracking_ratio:
+            self.radius_px = min(self.radius_px * 1.2, tr.maximum_distance_tracking_pixels)
+            self.desc_gate = min(self.desc_gate + 5, 90.0)
+        else:
+            self.radius_px = max(self.radius_px * 0.95,
+                                 tr.minimum_threshold_distance_tracking_pixels)
+            self.desc_gate = max(self.desc_gate - 1,
+                                 self.cfg.framepoint_generation.matching_distance_tracking_threshold)
+
+    def _spawn_and_update_landmarks(self, cur_frame):
+        """Create landmarks for mature tracks; refine all observed ones
+        (reference _updatePoints, pose_tracker_3d.cpp:475-549)."""
+        tr = self.cfg.tracking
+        track_len = np.asarray(cur_frame.track_len)
+        lm_slot = np.asarray(cur_frame.landmark_slot)
+        valid = np.asarray(cur_frame.valid)
+
+        needs = valid & (lm_slot < 0) & (track_len >= tr.minimum_track_length_for_landmark_creation)
+        rows = np.flatnonzero(needs)
+        T_wc = jnp.asarray(self.T_world_cam)
+        if len(rows):
+            slots = self.allocator.allocate(len(rows))
+            ok = slots >= 0
+            rows, slots = rows[ok], slots[ok]
+            if len(rows):
+                xyz_w = lie.transform_point_cloud(T_wc, cur_frame.p_cam[jnp.asarray(rows)])
+                self.table = lm_mod.spawn_landmarks(
+                    self.table,
+                    jnp.asarray(slots),
+                    xyz_w,
+                    cur_frame.desc[jnp.asarray(rows)],
+                    jnp.int32(self.frame_idx),
+                )
+                new_slots = cur_frame.landmark_slot.at[jnp.asarray(rows)].set(jnp.asarray(slots))
+                cur_frame = cur_frame._replace(landmark_slot=new_slots)
+
+        self.table = lm_mod.update_observed(
+            self.cam,
+            self.table,
+            T_wc,
+            cur_frame.landmark_slot,
+            cur_frame.uv4,
+            cur_frame.desc,
+            cur_frame.valid,
+            jnp.int32(self.frame_idx),
+        )
+        return cur_frame
+
+    # ------------------------------------------------------------------
+    def compute(self, img_l: np.ndarray, img_r: np.ndarray) -> np.ndarray:
+        """Process one stereo pair; returns T_world_cam (4,4) numpy."""
+        tr = self.cfg.tracking
+        t0 = time.perf_counter()
+        cur_frame, n_kp, n_fp = self._front_end(img_l, img_r)
+        self.stats.add_time("frontend", time.perf_counter() - t0)
+        self.stats.n_keypoints += n_kp
+        self.stats.n_framepoints += n_fp
+
+        if self.prev_frame is None:
+            self.status = LOCALIZING
+            cur_frame = self._spawn_and_update_landmarks(cur_frame)
+            self.prev_frame = cur_frame
+            self._finish_frame()
+            return self.T_world_cam
+
+        # Motion model (reference pose_tracker_3d.cpp:41-66).
+        if tr.motion_model == "CONSTANT_VELOCITY":
+            T_guess = self.last_motion
+        else:
+            T_guess = np.eye(4, dtype=np.float32)
+
+        t0 = time.perf_counter()
+        res, ok = self._register(cur_frame, T_guess)
+        self.stats.add_time("tracking", time.perf_counter() - t0)
+
+        n_prev = int(np.sum(np.asarray(self.prev_frame.valid)))
+        n_matches = int(res.n_matches)
+        ratio = n_matches / max(n_prev, 1)
+        self.stats.n_tracked_points += n_matches
+        self.stats.n_inliers += int(res.n_inliers)
+        self.stats.tracking_ratio = ratio
+
+        if ok:
+            motion = np.asarray(res.T_cur_prev)
+            self.status = TRACKING
+        else:
+            # Fallback: dead-reckon on the motion model and re-root tracks
+            # (reference breakTrack, world_map.cpp:260-279).
+            motion = T_guess
+            self.status = LOCALIZING
+            self.stats.n_breaks += 1
+
+        self.T_world_cam = (self.T_world_cam @ np.linalg.inv(motion)).astype(np.float32)
+        self.last_motion = motion.astype(np.float32)
+
+        t0 = time.perf_counter()
+        if ok:
+            cur_frame = frame_mod.propagate_tracks(self.prev_frame, cur_frame, res.prev_to_cur)
+        cur_frame = self._spawn_and_update_landmarks(cur_frame)
+        self.stats.add_time("mapping", time.perf_counter() - t0)
+
+        self._adapt_search(ratio)
+        self.prev_frame = cur_frame
+        self._finish_frame()
+        return self.T_world_cam
+
+    def _finish_frame(self):
+        self.trajectory.append(self.T_world_cam.copy())
+        self.frame_idx += 1
+        self.stats.n_frames += 1
