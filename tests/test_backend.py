@@ -1,0 +1,161 @@
+"""Pose-graph and Schur-BA tests on synthetic problems with known optima."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from vslam_tpu.backend import pose_graph as pg
+from vslam_tpu.backend import ba as ba_mod
+from vslam_tpu.ops import camera as cam_ops, lie
+
+RNG = np.random.default_rng(11)
+CAM = cam_ops.make_camera(fx=500.0, fy=500.0, cx=320.0, cy=160.0,
+                          baseline_m=0.4, rows=320, cols=640)
+
+
+def make_loop_trajectory(n=24, radius=10.0):
+    """Ground-truth poses around a circle (closing loop)."""
+    poses = []
+    for k in range(n):
+        ang = 2 * np.pi * k / n
+        c, s = np.cos(ang), np.sin(ang)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+        T[:3, 3] = [radius * s, 0.0, radius * (1 - c)]
+        poses.append(T)
+    return np.stack(poses)
+
+
+def relative(Ta, Tb):
+    return np.linalg.inv(Ta) @ Tb
+
+
+def test_pose_graph_corrects_drift():
+    gt = make_loop_trajectory()
+    n = len(gt)
+    # Build odometry chain with injected drift noise.
+    noisy = [gt[0]]
+    for k in range(1, n):
+        T_rel = relative(gt[k - 1], gt[k])
+        xi_noise = np.concatenate([RNG.normal(0, 0.03, 3), RNG.normal(0, 0.01, 3)])
+        T_rel = T_rel @ np.asarray(lie.exp_se3(jnp.asarray(xi_noise.astype(np.float32))))
+        noisy.append(noisy[-1] @ T_rel)
+    noisy = np.stack(noisy).astype(np.float32)
+    drift_before = np.linalg.norm(noisy[-1][:3, 3] - gt[-1][:3, 3])
+    assert drift_before > 0.1  # noise actually drifted
+
+    # Edges: odometry (noisy relatives as measured) + loop closure last->first
+    ei, ej, eT, ew = [], [], [], []
+    for k in range(1, n):
+        ei.append(k - 1); ej.append(k)
+        eT.append(relative(noisy[k - 1], noisy[k]))
+        ew.append(1.0)
+    # Ground-truth closure edge (x10 weight, reference graph_optimizer.cpp:301)
+    ei.append(n - 1); ej.append(0)
+    eT.append(relative(gt[n - 1], gt[0]))
+    ew.append(10.0)
+
+    graph = pg.PoseGraph(
+        poses=jnp.asarray(noisy),
+        edge_i=jnp.asarray(ei, jnp.int32),
+        edge_j=jnp.asarray(ej, jnp.int32),
+        edge_T_ij=jnp.asarray(np.stack(eT).astype(np.float32)),
+        edge_weight=jnp.asarray(ew, jnp.float32),
+        edge_valid=jnp.ones(len(ei), bool),
+        pose_valid=jnp.ones(n, bool),
+    )
+    opt, chi2 = pg.optimize_pose_graph(graph, iterations=15)
+    opt = np.asarray(opt)
+    # End-pose now consistent with the closure.
+    gap_after = np.linalg.norm(
+        (np.linalg.inv(opt[-1]) @ opt[0] - relative(gt[-1], gt[0]))[:3, 3]
+    )
+    assert gap_after < 0.05
+    # Overall trajectory moved closer to ground truth.
+    err_before = np.linalg.norm(noisy[:, :3, 3] - gt[:, :3, 3], axis=1).mean()
+    err_after = np.linalg.norm(opt[:, :3, 3] - gt[:, :3, 3], axis=1).mean()
+    assert err_after < 0.6 * err_before
+
+
+def make_ba_problem(P=6, L=128, Omax=6, pose_noise=0.05, point_noise=0.3,
+                    px_noise=0.0):
+    """Cameras along a line observing a point cloud; perturbed initials."""
+    T_gt = []
+    for k in range(P):
+        T = np.eye(4, dtype=np.float32)
+        T[:3, 3] = [0.3 * k, 0.0, 0.5 * k]
+        T_gt.append(T)
+    T_gt = np.stack(T_gt)
+    xyz_gt = np.stack([
+        RNG.uniform(-8, 8, L), RNG.uniform(-3, 3, L), RNG.uniform(8, 25, L)
+    ], 1).astype(np.float32)
+
+    obs_cam = np.zeros((L, Omax), np.int32)
+    obs_uv4 = np.zeros((L, Omax, 4), np.float32)
+    obs_mask = np.zeros((L, Omax), bool)
+    for l in range(L):
+        cams = RNG.choice(P, size=min(Omax, P), replace=False)
+        for s, c in enumerate(cams):
+            T_cw = np.linalg.inv(T_gt[c])
+            p_c = T_cw[:3, :3] @ xyz_gt[l] + T_cw[:3, 3]
+            if p_c[2] < 1.0:
+                continue
+            uv_l, uv_r, _ = cam_ops.project_stereo(CAM, jnp.asarray(p_c[None]))
+            uv4 = np.concatenate([np.asarray(uv_l)[0], np.asarray(uv_r)[0]])
+            uv4 += RNG.normal(0, px_noise, 4)
+            obs_cam[l, s] = c
+            obs_uv4[l, s] = uv4
+            obs_mask[l, s] = True
+
+    T_init = T_gt.copy()
+    for k in range(1, P):  # first camera is gauge-fixed
+        xi = np.concatenate([RNG.normal(0, pose_noise, 3), RNG.normal(0, pose_noise / 3, 3)])
+        T_init[k] = T_gt[k] @ np.asarray(lie.exp_se3(jnp.asarray(xi.astype(np.float32))))
+    xyz_init = xyz_gt + RNG.normal(0, point_noise, (L, 3)).astype(np.float32)
+
+    prob = ba_mod.BAProblem(
+        T_wc=jnp.asarray(T_init),
+        xyz=jnp.asarray(xyz_init),
+        obs_cam=jnp.asarray(obs_cam),
+        obs_uv4=jnp.asarray(obs_uv4),
+        obs_weight=jnp.ones((L, Omax), jnp.float32),
+        obs_mask=jnp.asarray(obs_mask),
+        lm_valid=jnp.ones(L, bool),
+        cam_fixed=jnp.asarray(np.arange(P) == 0),
+    )
+    return prob, T_gt, xyz_gt
+
+
+def test_ba_converges_to_ground_truth():
+    prob, T_gt, xyz_gt = make_ba_problem()
+    cfg = ba_mod.BAConfig(iterations=15, damping=1.0)
+    T_out, xyz_out, chi2s = ba_mod.bundle_adjust(CAM, prob, cfg)
+    T_out, xyz_out = np.asarray(T_out), np.asarray(xyz_out)
+    chi2s = np.asarray(chi2s)
+    assert chi2s[-1] < 1e-2 * chi2s[0]
+    pose_err = np.linalg.norm(T_out[:, :3, 3] - T_gt[:, :3, 3], axis=1)
+    assert pose_err.max() < 0.01
+    pt_err = np.linalg.norm(xyz_out - xyz_gt, axis=1)
+    assert np.median(pt_err) < 0.02
+
+
+def test_ba_gauge_fixed_camera_stays():
+    prob, T_gt, _ = make_ba_problem()
+    T_out, _, _ = ba_mod.bundle_adjust(CAM, prob, ba_mod.BAConfig(iterations=8))
+    np.testing.assert_allclose(np.asarray(T_out)[0], T_gt[0], atol=1e-4)
+
+
+def test_ba_robust_to_outlier_observations():
+    prob, T_gt, xyz_gt = make_ba_problem(px_noise=0.3)
+    # Corrupt 10% of observations grossly.
+    uv4 = np.asarray(prob.obs_uv4).copy()
+    mask = np.asarray(prob.obs_mask)
+    n_bad = 0
+    for l in range(uv4.shape[0]):
+        if RNG.random() < 0.3 and mask[l, 0]:
+            uv4[l, 0] += RNG.uniform(40, 120, 4)
+            n_bad += 1
+    prob = prob._replace(obs_uv4=jnp.asarray(uv4))
+    cfg = ba_mod.BAConfig(iterations=15, robust_chi2=25.0)
+    T_out, xyz_out, _ = ba_mod.bundle_adjust(CAM, prob, cfg)
+    pose_err = np.linalg.norm(np.asarray(T_out)[:, :3, 3] - T_gt[:, :3, 3], axis=1)
+    assert pose_err.max() < 0.05

@@ -1,0 +1,89 @@
+"""Distributed-path tests on the 8-virtual-device CPU mesh (the standard
+no-cluster multi-host harness, SURVEY.md §4): sharded Schur BA must agree
+with the single-device solver; sharded Hamming search with brute force."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vslam_tpu.backend import ba as ba_mod
+from vslam_tpu.parallel import mesh as mesh_mod
+from vslam_tpu.parallel import sharded_ba, sharded_search
+from vslam_tpu.ops import hamming
+
+from test_backend import make_ba_problem, CAM
+
+RNG = np.random.default_rng(13)
+
+
+def test_virtual_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_ba_matches_single_device():
+    prob, T_gt, xyz_gt = make_ba_problem(P=5, L=128, Omax=5)
+    cfg = ba_mod.BAConfig(iterations=8)
+    mesh = mesh_mod.make_mesh()
+
+    T_single, xyz_single, chi_single = ba_mod.bundle_adjust(CAM, prob, cfg)
+    T_shard, xyz_shard, chi_shard = sharded_ba.bundle_adjust_sharded(
+        CAM, prob, mesh, cfg
+    )
+    # psum reduction order differs from the single-device einsum order, so
+    # agreement is to f32 reduction tolerance, not bit-exact.
+    np.testing.assert_allclose(np.asarray(T_shard), np.asarray(T_single),
+                               atol=5e-3)
+    np.testing.assert_allclose(np.asarray(xyz_shard), np.asarray(xyz_single),
+                               atol=5e-2)
+    np.testing.assert_allclose(np.asarray(chi_shard), np.asarray(chi_single),
+                               rtol=1e-2)
+
+
+def test_sharded_ba_converges():
+    prob, T_gt, xyz_gt = make_ba_problem(P=5, L=128, Omax=5)
+    cfg = ba_mod.BAConfig(iterations=12)
+    mesh = mesh_mod.make_mesh()
+    T_out, xyz_out, chi2s = sharded_ba.bundle_adjust_sharded(CAM, prob, mesh, cfg)
+    pose_err = np.linalg.norm(np.asarray(T_out)[:, :3, 3] - T_gt[:, :3, 3], axis=1)
+    assert pose_err.max() < 0.02
+    chi2s = np.asarray(chi2s)
+    assert chi2s[-1] < 1e-2 * chi2s[0]
+
+
+def test_sharded_search_matches_bruteforce():
+    D, Q = 1024, 64
+    db = RNG.integers(0, 2**32, size=(D, 8), dtype=np.uint32)
+    q = db[RNG.choice(D, Q, replace=False)].copy()
+    # Flip a few bits so matches are near but not exact.
+    q[: Q // 2, 0] ^= np.uint32(0b1011)
+    valid = np.ones(D, bool)
+    valid[100:120] = False
+
+    mesh = mesh_mod.make_mesh()
+    idx, dist = sharded_search.search_sharded(
+        jnp.asarray(q), jnp.asarray(db), jnp.asarray(valid), mesh
+    )
+    # Brute force oracle
+    full = np.array(hamming.hamming_matrix(jnp.asarray(q), jnp.asarray(db)))
+    full[:, ~valid] = 1 << 20
+    oracle_idx = full.argmin(1)
+    oracle_dist = full.min(1)
+    np.testing.assert_array_equal(np.asarray(dist), oracle_dist)
+    # Ties can resolve to different indices; require equal distance at the
+    # chosen index instead of identical index.
+    chosen = full[np.arange(Q), np.asarray(idx)]
+    np.testing.assert_array_equal(chosen, oracle_dist)
+
+
+def test_sharded_search_popcount_path():
+    D, Q = 256, 16
+    db = RNG.integers(0, 2**32, size=(D, 8), dtype=np.uint32)
+    q = RNG.integers(0, 2**32, size=(Q, 8), dtype=np.uint32)
+    mesh = mesh_mod.make_mesh()
+    idx_a, dist_a = sharded_search.search_sharded(
+        jnp.asarray(q), jnp.asarray(db), jnp.ones(D, bool), mesh, use_mxu=True
+    )
+    idx_b, dist_b = sharded_search.search_sharded(
+        jnp.asarray(q), jnp.asarray(db), jnp.ones(D, bool), mesh, use_mxu=False
+    )
+    np.testing.assert_array_equal(np.asarray(dist_a), np.asarray(dist_b))

@@ -109,7 +109,11 @@ class RelocalizationParameters:
     preliminary_minimum_matching_ratio: float = 0.1
     minimum_number_of_matches_per_landmark: int = 20
     minimum_matches_per_correspondence: int = 0
-    maximum_descriptor_distance: int = 60
+    maximum_descriptor_distance: int = 45
+    # Lowe-style absolute margin: best must beat the runner-up by this many
+    # bits (TPU-native addition; plays the role of the reference's ratio
+    # test + HBST ambiguity filtering, relocalizer.cpp:86-123).
+    minimum_second_best_margin: int = 8
     aligner_type: str = "ICP"  # ICP (FAST-ICP variant: backend AA extension)
     icp_minimum_number_of_inliers: int = 25
     icp_minimum_inlier_ratio: float = 0.4

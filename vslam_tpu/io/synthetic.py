@@ -8,7 +8,7 @@ positions, so unit/integration tests and benches can assert real metrics
 (match recall, ATE bounds) rather than "ran to completion".
 
 Rendering is host-side numpy (not a perf path): each world point carries a
-fixed random 9x9 texture patch splatted at its projected location with
+fixed random texture patch (bright-center + random surround) splatted at its projected location with
 z-buffer ordering; the background is low-amplitude fixed noise so FAST
 finds only the intended corners.
 """
@@ -29,7 +29,7 @@ class SyntheticWorld:
     textures: np.ndarray  # (M, P, P) per-point patches
     poses: np.ndarray  # (T, 4, 4) T_world_cam ground truth
     background: np.ndarray  # (H, W) fixed noise background
-    patch: int = 9
+    patch: int = 27
 
 
 def corridor_trajectory(n_frames: int, step: float = 0.5, turn_rate: float = 0.004):
@@ -46,6 +46,21 @@ def corridor_trajectory(n_frames: int, step: float = 0.5, turn_rate: float = 0.0
     return np.stack(poses)
 
 
+def circle_trajectory(n_frames: int, radius: float = 8.0):
+    """Closed loop: camera moves on a circle facing the tangent — the last
+    frames re-observe the first frames' scenery (loop-closure fixture)."""
+    poses = []
+    for k in range(n_frames):
+        ang = 2 * np.pi * k / n_frames
+        c, s = np.cos(ang), np.sin(ang)
+        T = np.eye(4, dtype=np.float32)
+        # yaw about +y (camera +z forward, +x right)
+        T[:3, :3] = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+        T[:3, 3] = [radius * (1 - c), 0.0, radius * s]
+        poses.append(T)
+    return np.stack(poses)
+
+
 def make_world(
     cam: cam_ops.CameraParams,
     n_frames: int = 60,
@@ -53,10 +68,13 @@ def make_world(
     seed: int = 0,
     step: float = 0.5,
     turn_rate: float = 0.004,
-    patch: int = 9,
+    patch: int = 27,
+    poses: np.ndarray | None = None,
 ) -> SyntheticWorld:
     rng = np.random.default_rng(seed)
-    poses = corridor_trajectory(n_frames, step, turn_rate)
+    if poses is None:
+        poses = corridor_trajectory(n_frames, step, turn_rate)
+    n_frames = len(poses)
     # Scatter points in a corridor around the whole trajectory.
     centers = poses[rng.integers(0, n_frames, n_points)][:, :3, 3]
     offs = np.stack(
@@ -70,9 +88,18 @@ def make_world(
     # Offset in the local frame of the sampled pose (so points lie ahead).
     Rs = poses[rng.integers(0, n_frames, n_points)][:, :3, :3]
     points = centers + np.einsum("nij,nj->ni", Rs, offs)
-    # High-contrast random textures: bright blob + noise so FAST fires.
-    tex = rng.uniform(100, 200, (n_points, patch, patch)).astype(np.float32)
-    tex += rng.uniform(-40, 40, (n_points, patch, patch))
+    # Texture design serves two needs at once:
+    #  * REPEATABLE detection — one dominant corner (a bright 5x5 center
+    #    block) so the per-cell argmax lands on the same texel every visit;
+    #  * DISTINCTIVE description — medium-contrast per-landmark random
+    #    texture filling the BRIEF footprint (+-13 px), so descriptors of
+    #    different landmarks differ.  Noise-only textures fail the first
+    #    (many equal-strength corners), uniform blobs fail the second.
+    tex = rng.uniform(0, 140, (n_points, patch, patch)).astype(np.float32)
+    c = patch // 2
+    tex[:, c - 2 : c + 3, c - 2 : c + 3] = rng.uniform(
+        220, 255, (n_points, 5, 5)
+    ).astype(np.float32)
     bg = rng.uniform(10, 30, (cam.rows, cam.cols)).astype(np.float32)
     return SyntheticWorld(
         cam=cam,

@@ -1,0 +1,102 @@
+"""Keyframes / local maps and the world map bookkeeping.
+
+TPU-native redesign of LocalMap + WorldMap (src/types/local_map.cpp:27-96,
+world_map.cpp:50-478): a LocalMap is a keyframe-anchored record holding the
+slots + keyframe-frame snapshot positions + packed descriptor block of the
+landmarks seen in its window — the descriptor block is exactly the matrix
+a Hamming-matmul loop-closure query consumes (SURVEY.md §2.5).  The world
+map is a light host object: local-map list, per-landmark origin map id,
+and the local-map creation trigger.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from vslam_tpu.ops import lie
+
+import jax.numpy as jnp
+
+
+@dataclass
+class LocalMap:
+    map_id: int
+    keyframe_index: int  # frame index of the anchoring keyframe
+    T_world_kf: np.ndarray  # (4, 4) keyframe pose at creation
+    landmark_slots: np.ndarray  # (K,) int32 table slots
+    xyz_kf: np.ndarray  # (K, 3) landmark positions in keyframe frame
+    desc: np.ndarray  # (K, 8) uint32 landmark descriptors
+
+
+@dataclass
+class Closure:
+    """A verified loop closure (reference src/relocalization/closure.h)."""
+
+    query_id: int
+    reference_id: int
+    T_ref_query: np.ndarray  # (4, 4) aligning query keyframe into reference
+    n_correspondences: int
+    inlier_ratio: float
+    correspondences: np.ndarray  # (C, 2) [query_slot, reference_slot]
+
+
+class WorldMap:
+    """Host-side global map owner (reference src/types/world_map.cpp)."""
+
+    def __init__(
+        self,
+        min_distance: float = 0.5,
+        min_degrees: float = 30.0,
+        min_frames: int = 4,
+    ):
+        self.local_maps: list[LocalMap] = []
+        self.closures: list[Closure] = []
+        self.min_distance = min_distance
+        self.min_radians = np.deg2rad(min_degrees)
+        self.min_frames = min_frames
+        self._last_T = None
+        self._frames_since = 0
+
+    def should_create_local_map(self, T_world_cam: np.ndarray) -> bool:
+        """Reference trigger: rotation > threshold OR (distance AND >= N
+        frames) since the last local map (world_map.cpp:108-111)."""
+        self._frames_since += 1
+        if self._last_T is None:
+            return True
+        dT = np.linalg.inv(self._last_T) @ T_world_cam
+        dist = float(np.linalg.norm(dT[:3, 3]))
+        ang = float(lie.rotation_angle(jnp.asarray(dT[:3, :3].astype(np.float32))))
+        if ang > self.min_radians:
+            return True
+        return dist > self.min_distance and self._frames_since >= self.min_frames
+
+    def create_local_map(
+        self,
+        T_world_cam: np.ndarray,
+        frame_index: int,
+        landmark_slots: np.ndarray,
+        xyz_world: np.ndarray,
+        desc: np.ndarray,
+    ) -> LocalMap:
+        T_kf_world = np.linalg.inv(T_world_cam)
+        xyz_kf = xyz_world @ T_kf_world[:3, :3].T + T_kf_world[:3, 3]
+        lm = LocalMap(
+            map_id=len(self.local_maps),
+            keyframe_index=frame_index,
+            T_world_kf=T_world_cam.copy(),
+            landmark_slots=np.asarray(landmark_slots, np.int32),
+            xyz_kf=xyz_kf.astype(np.float32),
+            desc=np.asarray(desc, np.uint32),
+        )
+        self.local_maps.append(lm)
+        self._last_T = T_world_cam.copy()
+        self._frames_since = 0
+        return lm
+
+    def add_closure(self, closure: Closure):
+        self.closures.append(closure)
+
+    def __len__(self):
+        return len(self.local_maps)

@@ -59,11 +59,14 @@ class PoseTracker:
         tr = config.tracking
 
         self.capacity = fp.capacity
+        n_cells = (cam.rows // fp.bin_size_pixels) * (cam.cols // fp.bin_size_pixels)
+        # Target must stay below the fixed capacity: detected counts are
+        # clipped at capacity, and a target above it drives the controller's
+        # error permanently negative, slamming the threshold to its minimum
+        # (noise corners everywhere).
         self.controller = detect_mod.ThresholdController(
             initial=fp.detector_threshold_starting_value,
-            target_count=int(
-                (cam.rows // fp.bin_size_pixels) * (cam.cols // fp.bin_size_pixels) * 0.7
-            ),
+            target_count=min(int(n_cells * 0.7), int(fp.capacity * 0.7)),
             max_change=fp.detector_threshold_maximum_change,
             minimum=fp.detector_threshold_minimum,
             maximum=fp.detector_threshold_maximum,
