@@ -1,0 +1,86 @@
+"""RGB-D mode tests: depth registration kernel, depth front-end, and
+end-to-end RGB-D odometry (the reference's TUM/ICL configurations)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from vslam_tpu.frontend import depth as depth_mod
+from vslam_tpu.io import synthetic
+from vslam_tpu.io.config import ParameterCollection
+from vslam_tpu.ops import camera as cam_ops
+from vslam_tpu.tracking.tracker import PoseTracker, TRACKING
+from vslam_tpu.eval import trajectory as traj_eval
+
+RNG = np.random.default_rng(23)
+CAM = cam_ops.make_camera(fx=525.0, fy=525.0, cx=320.0, cy=160.0,
+                          baseline_m=0.075, rows=320, cols=640)
+
+
+def test_gather_depth():
+    d = np.zeros((100, 200), np.float32)
+    d[40, 60] = 3.5
+    d[10, 190] = 1.25
+    uv = jnp.asarray(np.array([[60.2, 39.8], [189.7, 10.1], [0, 0]], np.float32))
+    z = np.asarray(depth_mod.gather_depth(jnp.asarray(d), uv))
+    np.testing.assert_allclose(z, [3.5, 1.25, 0.0])
+
+
+def test_register_depth_identity():
+    """Depth camera == RGB camera: registration is identity up to rounding."""
+    d = np.zeros((320, 640), np.float32)
+    d[100:110, 200:210] = 4.0
+    out = np.asarray(depth_mod.register_depth(
+        CAM, jnp.asarray(d), CAM.K, jnp.eye(4)))
+    np.testing.assert_allclose(out[104, 204], 4.0, atol=1e-5)
+    assert np.count_nonzero(out) >= 80  # most of the block survives rounding
+
+
+def test_register_depth_translated_camera():
+    """A depth camera shifted along x reprojects depth into shifted pixels
+    with correct z-buffer behaviour."""
+    d = np.zeros((320, 640), np.float32)
+    d[150:170, 300:320] = 2.0
+    T = np.eye(4, dtype=np.float32)
+    T[0, 3] = 0.1  # depth camera origin at x=-0.1 in rgb frame -> shift right
+    out = np.asarray(depth_mod.register_depth(CAM, jnp.asarray(d), CAM.K, jnp.asarray(T)))
+    # Expected shift: fx * 0.1 / 2.0 = 26.25 px in +u
+    nz = np.argwhere(out > 0)
+    assert len(nz) > 100
+    assert abs(nz[:, 1].mean() - (309.5 + 26.25)) < 2.0
+    np.testing.assert_allclose(out[nz[:, 0], nz[:, 1]], 2.0, atol=1e-3)
+
+
+@pytest.fixture(scope="module")
+def rgbd_run():
+    cfg = ParameterCollection()
+    cfg.command_line.tracker_mode = "RGB_DEPTH"
+    cfg.framepoint_generation.capacity = 512
+    cfg.framepoint_generation.bin_size_pixels = 12
+    cfg.framepoint_generation.maximum_depth_meters = 30.0
+    world = synthetic.make_world(CAM, n_frames=25, n_points=2500, seed=31,
+                                 step=0.3, turn_rate=0.003)
+    tracker = PoseTracker(CAM, cfg, landmark_capacity=16384)
+    for t in range(len(world.poses)):
+        img, depth = synthetic.render_depth_frame(world, t)
+        tracker.compute(img, depth)
+    return world, tracker
+
+
+def test_rgbd_odometry_ate(rgbd_run):
+    world, tracker = rgbd_run
+    est = np.stack(tracker.trajectory)
+    rmse, _, _ = traj_eval.ate_rmse(est, world.poses)
+    total_len = np.sum(np.linalg.norm(np.diff(world.poses[:, :3, 3], axis=0), axis=1))
+    assert tracker.status == TRACKING
+    assert rmse < 0.03 * total_len, f"ATE {rmse:.3f} m over {total_len:.1f} m"
+
+
+def test_rgbd_landmarks(rgbd_run):
+    world, tracker = rgbd_run
+    assert tracker.allocator.num_allocated > 100
+    valid = np.asarray(tracker.table.valid) & (np.asarray(tracker.table.n_updates) >= 3)
+    xyz = np.asarray(tracker.table.xyz_w)[valid]
+    assert len(xyz) > 30
+    d = np.min(np.linalg.norm(xyz[:, None, :] - world.points_w[None, :, :], axis=2), axis=1)
+    assert np.median(d) < 0.5

@@ -112,6 +112,45 @@ def process_stereo_pair(
     return frame, jnp.sum(kl.valid).astype(jnp.int32), jnp.sum(valid).astype(jnp.int32)
 
 
+@partial(jax.jit, static_argnames=("capacity", "bin_size", "border"))
+def process_depth_frame(
+    cam: cam_ops.CameraParams,
+    img: jnp.ndarray,
+    depth_m: jnp.ndarray,  # registered to the intensity camera
+    threshold: jnp.ndarray,
+    min_depth: jnp.ndarray,
+    max_depth: jnp.ndarray,
+    capacity: int = 1024,
+    bin_size: int = 16,
+    border: int = 20,
+):
+    """RGB-D front-end: detect -> describe -> depth gather -> back-project.
+
+    FrameState.uv4 carries [u, v, depth_m, 0] in depth mode (the 4th slot
+    unused).  Reference: DepthFramePointGenerator::compute
+    (depth_framepoint_generator.cpp:46-164).
+    """
+    from vslam_tpu.frontend import depth as depth_mod
+
+    kp = detect.detect_keypoints(img, threshold, bin_size, capacity, border)
+    desc = orb.describe(img, kp.uv)
+    z = depth_mod.gather_depth(depth_m, kp.uv)
+    valid = kp.valid & (z >= min_depth) & (z <= max_depth)
+    p_cam = cam_ops.back_project(cam, kp.uv, z)
+
+    uv4 = jnp.concatenate([kp.uv, z[:, None], jnp.zeros_like(z[:, None])], axis=1)
+    uv4, desc, p_cam, valid = _compact(valid, uv4, desc, p_cam, valid)
+    frame = FrameState(
+        uv4=uv4,
+        desc=desc,
+        p_cam=p_cam,
+        valid=valid,
+        track_len=jnp.where(valid, 1, 0).astype(jnp.int32),
+        landmark_slot=jnp.full(capacity, -1, jnp.int32),
+    )
+    return frame, jnp.sum(kp.valid).astype(jnp.int32), jnp.sum(valid).astype(jnp.int32)
+
+
 class TrackResult(NamedTuple):
     T_cur_prev: jnp.ndarray  # (4, 4) estimated camera motion
     prev_to_cur: jnp.ndarray  # (Kprev,) int32 index into cur frame, -1 unmatched
@@ -150,6 +189,50 @@ def track_and_align(
         weight=point_weights,
     )
     res = aligners.stereo_uv_align(cam, data, matched, T_guess, gn_config)
+
+    prev_to_cur = jnp.where(matched, m.cur_idx, -1).astype(jnp.int32)
+    return TrackResult(
+        T_cur_prev=res.x,
+        prev_to_cur=prev_to_cur,
+        n_matches=jnp.sum(matched).astype(jnp.int32),
+        n_inliers=res.num_inliers,
+        mean_chi2=res.chi2,
+        converged=res.converged,
+    )
+
+
+@partial(jax.jit, static_argnames=("gn_config",))
+def track_and_align_uvd(
+    cam: cam_ops.CameraParams,
+    prev: FrameState,
+    cur: FrameState,
+    T_guess: jnp.ndarray,
+    radius_px: jnp.ndarray,
+    max_hamming: jnp.ndarray,
+    point_weights: jnp.ndarray,
+    gn_config: gn.GNConfig = gn.GNConfig(),
+) -> TrackResult:
+    """RGB-D variant of track_and_align: 3D [u, v, depth] residuals via the
+    UVD aligner (reference UVDAligner, uvd_aligner.cpp)."""
+    p_pred = lie.transform_point_cloud(T_guess, prev.p_cam)
+    proj_uv, z_pred = cam_ops.project(cam, p_pred)
+    predictable = prev.valid & (z_pred > 0.05)
+
+    m = matching.match_projective(
+        proj_uv, prev.desc, predictable,
+        cur.uv4[:, :2], cur.desc, cur.valid,
+        radius_px, max_hamming,
+    )
+    matched = m.valid & predictable
+
+    meas = cur.uv4[m.cur_idx][:, :3]  # [u, v, depth]
+    data = aligners.UVDData(
+        p_prev=prev.p_cam,
+        meas=meas,
+        weight=point_weights,
+        depth_reliable=meas[:, 2] > 0.01,
+    )
+    res = aligners.uvd_align(cam, data, matched, T_guess, gn_config)
 
     prev_to_cur = jnp.where(matched, m.cur_idx, -1).astype(jnp.int32)
     return TrackResult(

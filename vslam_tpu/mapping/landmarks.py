@@ -11,6 +11,7 @@ update_landmarks), and a host free-list for allocation — landmark `merge`
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -88,16 +89,17 @@ def spawn_landmarks(
     )
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("mode",))
 def update_observed(
     cam: cam_ops.CameraParams,
     table: LandmarkTable,
     T_world_cam: jnp.ndarray,
     slots: jnp.ndarray,  # (K,) landmark slot per framepoint (-1 none)
-    uv4: jnp.ndarray,  # (K, 4) stereo measurements
+    uv4: jnp.ndarray,  # (K, 4) stereo [uL,vL,uR,vR] or depth [u,v,z,0]
     desc: jnp.ndarray,  # (K, 8) current descriptors
     point_valid: jnp.ndarray,  # (K,)
     frame_idx: jnp.ndarray,
+    mode: str = "stereo",
 ) -> LandmarkTable:
     """Batched GN refinement of all landmarks observed this frame.
 
@@ -113,9 +115,14 @@ def update_observed(
     meas = meas.at[tgt].set(jnp.where(obs[:, None], uv4, meas_cur))
     obs_mask = jnp.zeros(M, bool).at[tgt].set(obs) & table.valid
 
-    xyz_new, H_new, chi2, inlier = aligners.update_landmarks(
-        cam, table.xyz_w, table.H_acc, T_world_cam, meas, obs_mask
-    )
+    if mode == "stereo":
+        xyz_new, H_new, chi2, inlier = aligners.update_landmarks(
+            cam, table.xyz_w, table.H_acc, T_world_cam, meas, obs_mask
+        )
+    else:
+        xyz_new, H_new, chi2, inlier = aligners.update_landmarks_uvd(
+            cam, table.xyz_w, table.H_acc, T_world_cam, meas[:, :3], obs_mask
+        )
 
     desc_scat = table.desc.at[tgt].set(jnp.where(obs[:, None], desc, table.desc[tgt]))
     return table._replace(

@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 
+@jax.tree_util.register_pytree_node_class
 class CameraParams(NamedTuple):
     """Static per-run camera intrinsics + stereo geometry.
 
@@ -25,6 +26,10 @@ class CameraParams(NamedTuple):
     right-image column is u_r = u_l - fx * baseline / z, matching the
     reference's homogeneous `baseline_pixelsmeters` convention with
     b_x = -fx * baseline, camera.h:46-51). rows/cols: image size.
+
+    Registered as a custom pytree: rows/cols/depth_scale are STATIC aux
+    data (usable as array shapes inside jit; jit specializes per camera
+    geometry), K/baseline/extrinsics are traced leaves.
     """
 
     K: jnp.ndarray
@@ -33,6 +38,19 @@ class CameraParams(NamedTuple):
     cols: int
     T_cam_robot: jnp.ndarray  # (4,4) robot -> camera
     depth_scale: float = 1e-3  # 16-bit depth -> meters (parameters.h:251)
+
+    def tree_flatten(self):
+        return (self.K, self.baseline_m, self.T_cam_robot), (
+            self.rows,
+            self.cols,
+            self.depth_scale,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        K, baseline_m, T_cam_robot = leaves
+        rows, cols, depth_scale = aux
+        return cls(K, baseline_m, rows, cols, T_cam_robot, depth_scale)
 
     @property
     def fx(self):

@@ -246,3 +246,40 @@ def update_landmarks(
     xyz_out = jnp.where(m3, xyz_n, xyz_world)
     H_out = jnp.where(obs_mask[:, None, None], H_n, H_acc)
     return xyz_out, H_out, chi2, inl & obs_mask
+
+
+@jax.jit
+def update_landmarks_uvd(
+    cam: cam_ops.CameraParams,
+    xyz_world: jnp.ndarray,
+    H_acc: jnp.ndarray,
+    T_world_cam: jnp.ndarray,
+    meas_uvd: jnp.ndarray,  # (M, 3) measured [u, v, depth_m]
+    obs_mask: jnp.ndarray,
+    kernel_max_error: float = 9.0 * 3,
+    prior_damping: float = 1.0,
+    depth_weight: float = 100.0,
+):
+    """RGB-D variant of update_landmarks: [u, v, depth] residual with the
+    depth channel weighted in (pixel^2-comparable) units."""
+    T_cam_world = lie.inverse(T_world_cam)
+    sqrt_dw = jnp.sqrt(depth_weight)
+
+    def per_landmark(xyz, H, meas):
+        def r_of_x(x):
+            p_cam = lie.transform_points(T_cam_world, x)
+            uv, z = cam_ops.project(cam, p_cam)
+            return jnp.concatenate([uv - meas[:2], (z - meas[2])[None] * sqrt_dw])
+
+        r = r_of_x(xyz)
+        J = jax.jacfwd(r_of_x)(xyz)  # (3, 3)
+        chi2 = jnp.sum(r * r)
+        w = jnp.where(chi2 > kernel_max_error, kernel_max_error / jnp.maximum(chi2, 1e-9), 1.0)
+        H_new = H + w * (J.T @ J)
+        dx = gn.solve_normal_equations(H_new, w * (J.T @ r), prior_damping)
+        return xyz + dx, H_new, chi2, chi2 <= kernel_max_error
+
+    xyz_n, H_n, chi2, inl = jax.vmap(per_landmark)(xyz_world, H_acc, meas_uvd)
+    xyz_out = jnp.where(obs_mask[:, None], xyz_n, xyz_world)
+    H_out = jnp.where(obs_mask[:, None, None], H_n, H_acc)
+    return xyz_out, H_out, chi2, inl & obs_mask

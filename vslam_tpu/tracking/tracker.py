@@ -85,6 +85,10 @@ class PoseTracker:
         self.table = lm_mod.empty_table(landmark_capacity)
         self.allocator = lm_mod.SlotAllocator(landmark_capacity)
 
+        # RGB_STEREO | RGB_DEPTH (reference tracker_mode, parameters.h:40)
+        self.mode = (
+            "depth" if config.command_line.tracker_mode == "RGB_DEPTH" else "stereo"
+        )
         self.status = LOCALIZING
         self.prev_frame: frame_mod.FrameState | None = None
         self.T_world_cam = np.eye(4, dtype=np.float32)
@@ -95,20 +99,35 @@ class PoseTracker:
 
     # ------------------------------------------------------------------
     def _front_end(self, img_l, img_r):
+        """img_r is the right image in stereo mode, the registered depth
+        map (meters) in depth mode."""
         fp = self.cfg.framepoint_generation
-        frame, n_kp, n_fp = frame_mod.process_stereo_pair(
-            self.cam,
-            jnp.asarray(img_l, jnp.float32),
-            jnp.asarray(img_r, jnp.float32),
-            jnp.float32(self.controller.threshold),
-            jnp.int32(fp.maximum_matching_distance_triangulation),
-            jnp.float32(fp.maximum_epipolar_search_offset_pixels),
-            jnp.float32(fp.minimum_disparity_pixels),
-            jnp.float32(fp.maximum_disparity_pixels),
-            capacity=fp.capacity,
-            bin_size=fp.bin_size_pixels,
-            border=fp.border_pixels,
-        )
+        if self.mode == "stereo":
+            frame, n_kp, n_fp = frame_mod.process_stereo_pair(
+                self.cam,
+                jnp.asarray(img_l, jnp.float32),
+                jnp.asarray(img_r, jnp.float32),
+                jnp.float32(self.controller.threshold),
+                jnp.int32(fp.maximum_matching_distance_triangulation),
+                jnp.float32(fp.maximum_epipolar_search_offset_pixels),
+                jnp.float32(fp.minimum_disparity_pixels),
+                jnp.float32(fp.maximum_disparity_pixels),
+                capacity=fp.capacity,
+                bin_size=fp.bin_size_pixels,
+                border=fp.border_pixels,
+            )
+        else:
+            frame, n_kp, n_fp = frame_mod.process_depth_frame(
+                self.cam,
+                jnp.asarray(img_l, jnp.float32),
+                jnp.asarray(img_r, jnp.float32),
+                jnp.float32(self.controller.threshold),
+                jnp.float32(fp.minimum_depth_meters),
+                jnp.float32(fp.maximum_depth_meters),
+                capacity=fp.capacity,
+                bin_size=fp.bin_size_pixels,
+                border=fp.border_pixels,
+            )
         n_kp = int(n_kp)
         self.controller.update(n_kp)
         return frame, n_kp, int(n_fp)
@@ -124,8 +143,13 @@ class PoseTracker:
              min(self.desc_gate + 10, 90.0), T_guess),
             (tr.maximum_distance_tracking_pixels, 90.0, np.eye(4, dtype=np.float32)),
         ]
+        track_fn = (
+            frame_mod.track_and_align
+            if self.mode == "stereo"
+            else frame_mod.track_and_align_uvd
+        )
         for radius, gate, guess in attempts:
-            res = frame_mod.track_and_align(
+            res = track_fn(
                 self.cam,
                 self.prev_frame,
                 cur_frame,
@@ -189,6 +213,7 @@ class PoseTracker:
             cur_frame.desc,
             cur_frame.valid,
             jnp.int32(self.frame_idx),
+            mode=self.mode,
         )
         return cur_frame
 
