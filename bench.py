@@ -32,7 +32,7 @@ def main():
     from vslam_tpu.io import synthetic
     from vslam_tpu.io.config import ParameterCollection
     from vslam_tpu.ops import camera as cam_ops
-    from vslam_tpu.tracking.tracker import PoseTracker
+    from vslam_tpu.tracking.tracker import FusedPoseTracker
     from vslam_tpu.eval import trajectory as traj_eval
 
     # KITTI-resolution synthetic sequence (no datasets ship in this env).
@@ -47,7 +47,7 @@ def main():
                                  step=0.8, turn_rate=0.003)
     frames = [synthetic.render_frame(world, t)[:2] for t in range(n_frames)]
 
-    tracker = PoseTracker(cam, cfg, landmark_capacity=65536)
+    tracker = FusedPoseTracker(cam, cfg, landmark_capacity=65536)
     # Warmup: compile every program in the per-frame path.
     for t in range(3):
         tracker.compute(*frames[t])
@@ -55,6 +55,7 @@ def main():
     t0 = time.perf_counter()
     for t in range(3, n_frames):
         tracker.compute(*frames[t])
+    tracker.flush()  # include the in-flight frame in the timing
     dt = time.perf_counter() - t0
     fps = (n_frames - 3) / dt
 

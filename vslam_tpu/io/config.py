@@ -64,7 +64,7 @@ class FramepointGenerationParameters:
     detector_threshold_maximum: float = 100.0
     detector_threshold_maximum_change: float = 10.0
     detector_type: str = "FAST"
-    descriptor_type: str = "ORB256"
+    descriptor_type: str = "BRIEF256"
     bin_size_pixels: int = 16
     capacity: int = 1024  # fixed keypoint capacity (TPU-native addition)
     border_pixels: int = 20
@@ -94,6 +94,9 @@ class TrackingParameters:
     minimum_delta_angular_for_movement: float = 0.001
     minimum_delta_translational_for_movement: float = 0.01
     motion_model: str = "CONSTANT_VELOCITY"  # NONE | CONSTANT_VELOCITY
+    # TPU-native addition: fused single-dispatch frame program (production)
+    # vs the modular multi-kernel path (reference implementation).
+    use_fused_tracker: bool = True
     # aligner sub-group (parameters.h:66-95)
     aligner_maximum_error_kernel: float = 25.0
     aligner_damping: float = 1.0

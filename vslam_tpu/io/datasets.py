@@ -35,9 +35,15 @@ class StereoFrame:
 
 
 def _imread_gray(path: str) -> np.ndarray:
-    img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+    from vslam_tpu.utils import native
+
+    img = native.decode_image(path)
+    if img is None:
+        img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
     if img is None:
         raise FileNotFoundError(path)
+    if img.ndim == 3:
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
     return img.astype(np.float32)
 
 
@@ -99,6 +105,24 @@ class KittiDataset:
         return len(self.left)
 
     def __iter__(self) -> Iterator[StereoFrame]:
+        from vslam_tpu.utils import native
+
+        if native.available():
+            # Native threaded decode-ahead: left/right interleaved so the
+            # background workers stay ahead of the per-frame device compute.
+            interleaved = [p for pair in zip(self.left, self.right) for p in pair]
+            pf = native.Prefetcher(interleaved, n_threads=2, look_ahead=8)
+            try:
+                it = iter(pf)
+                for i in range(len(self.left)):
+                    il = next(it).astype(np.float32)
+                    ir = next(it).astype(np.float32)
+                    if self.equalize_hist:
+                        il, ir = equalize(il), equalize(ir)
+                    yield StereoFrame(il, ir, float(self.times[i]), i)
+            finally:
+                pf.close()
+            return
         for i, (l, r) in enumerate(zip(self.left, self.right)):
             il, ir = _imread_gray(l), _imread_gray(r)
             if self.equalize_hist:

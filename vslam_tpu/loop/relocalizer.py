@@ -45,7 +45,22 @@ def _query_database(q_desc, db_desc, db_valid, max_distance, min_margin):
     return best, ok, best_d
 
 
+@jax.jit
+def _insert_chunk(db_desc, db_valid, chunk_desc, chunk_len, offset):
+    """Fixed-shape database append: one compiled program for every insert
+    (variable-length slices would recompile per local-map size)."""
+    chunk = chunk_desc.shape[0]
+    db_desc = jax.lax.dynamic_update_slice(db_desc, chunk_desc, (offset, 0))
+    valid_chunk = (
+        jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0).squeeze(-1) < chunk_len
+    )
+    db_valid = jax.lax.dynamic_update_slice(db_valid, valid_chunk, (offset,))
+    return db_desc, db_valid
+
+
 class Relocalizer:
+    QUERY_CAP = 1024  # fixed query/insert chunk (>= local_map max landmarks)
+
     def __init__(self, params: RelocalizationParameters, capacity: int = 131072):
         self.params = params
         self.capacity = capacity
@@ -61,17 +76,22 @@ class Relocalizer:
 
     # ------------------------------------------------------------------
     def add_local_map(self, lm: LocalMap) -> None:
-        k = len(lm.landmark_slots)
-        if k == 0 or self.n_rows + k > self.capacity:
+        k = min(len(lm.landmark_slots), self.QUERY_CAP)
+        if k == 0 or self.n_rows + self.QUERY_CAP > self.capacity:
             return
-        sl = slice(self.n_rows, self.n_rows + k)
-        self.db_desc = jax.lax.dynamic_update_slice(
-            self.db_desc, jnp.asarray(lm.desc, jnp.uint32), (self.n_rows, 0)
+        chunk = np.zeros((self.QUERY_CAP, 8), np.uint32)
+        chunk[:k] = lm.desc[:k]
+        self.db_desc, self.db_valid = _insert_chunk(
+            self.db_desc,
+            self.db_valid,
+            jnp.asarray(chunk),
+            jnp.int32(k),
+            jnp.int32(self.n_rows),
         )
-        self.db_valid = self.db_valid.at[self.n_rows : self.n_rows + k].set(True)
+        sl = slice(self.n_rows, self.n_rows + k)
         self.row_map_id[sl] = lm.map_id
-        self.row_slot[sl] = lm.landmark_slots
-        self.row_xyz_kf[sl] = lm.xyz_kf
+        self.row_slot[sl] = lm.landmark_slots[:k]
+        self.row_xyz_kf[sl] = lm.xyz_kf[:k]
         self.n_rows += k
         self.maps[lm.map_id] = lm
 
@@ -90,15 +110,19 @@ class Relocalizer:
         eligible = (
             self.row_map_id <= query.map_id - p.preliminary_minimum_interspace_queries
         ) & (self.row_map_id >= 0)
+        # Fixed-shape query: pad to QUERY_CAP so every query compiles once.
+        nq = min(len(query.landmark_slots), self.QUERY_CAP)
+        q_desc = np.zeros((self.QUERY_CAP, 8), np.uint32)
+        q_desc[:nq] = query.desc[:nq]
         idx, ok, dist = _query_database(
-            jnp.asarray(query.desc, jnp.uint32),
+            jnp.asarray(q_desc),
             self.db_desc,
             self.db_valid & jnp.asarray(eligible),
             jnp.int32(p.maximum_descriptor_distance),
             jnp.int32(p.minimum_second_best_margin),
         )
-        idx = np.asarray(idx)
-        ok = np.asarray(ok)
+        idx = np.asarray(idx)[:nq]
+        ok = np.asarray(ok)[:nq]
         if not ok.any():
             return None
         map_ids = self.row_map_id[idx]

@@ -66,26 +66,27 @@ def spawn_landmarks(
     desc: jnp.ndarray,  # (S, 8)
     frame_idx: jnp.ndarray,
 ) -> LandmarkTable:
-    """Scatter freshly-created landmarks into their assigned slots."""
+    """Scatter freshly-created landmarks into their assigned slots.
+
+    All scatters are predicated ADD-deltas (never .set): every unused row
+    targets slot 0, and duplicate-index .set is nondeterministic when a
+    genuine spawn also targets slot 0 — adding a zero delta is safe.  The
+    allocator guarantees each used slot appears at most once.
+    """
     use = new_slots >= 0
     tgt = jnp.where(use, new_slots, 0)
-    # Write with per-row predication: rows with use=False write their own
-    # current values back (no-op writes at slot 0 would corrupt it).
-    xyz_cur = table.xyz_w[tgt]
-    desc_cur = table.desc[tgt]
+    u1 = use[:, None]
+    xyz = table.xyz_w.at[tgt].add(jnp.where(u1, xyz_w - table.xyz_w[tgt], 0.0))
+    H = table.H_acc.at[tgt].add(
+        jnp.where(use[:, None, None], -table.H_acc[tgt], 0.0)
+    )
+    # uint32 delta-add is exact mod 2^32: cur + (new - cur) == new.
+    desc_new = table.desc.at[tgt].add(jnp.where(u1, desc - table.desc[tgt], jnp.uint32(0)))
+    n_up = table.n_updates.at[tgt].add(jnp.where(use, 1 - table.n_updates[tgt], 0))
+    last = table.last_seen.at[tgt].max(jnp.where(use, frame_idx, -1))
+    valid = table.valid.at[tgt].max(use)
     return table._replace(
-        xyz_w=table.xyz_w.at[tgt].set(jnp.where(use[:, None], xyz_w, xyz_cur)),
-        H_acc=table.H_acc.at[tgt].set(
-            jnp.where(use[:, None, None], jnp.zeros((3, 3), jnp.float32), table.H_acc[tgt])
-        ),
-        desc=table.desc.at[tgt].set(jnp.where(use[:, None], desc, desc_cur)),
-        n_updates=table.n_updates.at[tgt].set(
-            jnp.where(use, 1, table.n_updates[tgt])
-        ),
-        last_seen=table.last_seen.at[tgt].set(
-            jnp.where(use, frame_idx, table.last_seen[tgt])
-        ),
-        valid=table.valid.at[tgt].set(jnp.where(use, True, table.valid[tgt])),
+        xyz_w=xyz, H_acc=H, desc=desc_new, n_updates=n_up, last_seen=last, valid=valid
     )
 
 

@@ -77,16 +77,12 @@ def merge_landmarks(
     remap maps absorbed slot -> representative slot, for callers holding
     slot references (local maps, frame states).
     """
-    uf = UnionFind()
-    for a, b in correspondences:
-        if a >= 0 and b >= 0 and a != b:
-            uf.union(int(a), int(b))
+    from vslam_tpu.utils import native
 
-    remap = {}
-    for x in list(uf.parent):
-        r = uf.find(x)
-        if r != x:
-            remap[x] = r
+    # Native C++ union-find when the runtime library is built (this is the
+    # hot host-side part of post-closure merging on large maps); the Python
+    # UnionFind above is the behavioural reference and fallback.
+    remap = native.union_find(np.asarray(correspondences, np.int32))
     if not remap:
         return table, {}
 

@@ -22,7 +22,7 @@ from vslam_tpu.loop.relocalizer import Relocalizer
 from vslam_tpu.mapping import merging
 from vslam_tpu.mapping.local_maps import WorldMap
 from vslam_tpu.ops import camera as cam_ops
-from vslam_tpu.tracking.tracker import PoseTracker
+from vslam_tpu.tracking.tracker import FusedPoseTracker, PoseTracker
 
 
 class SlamEngine:
@@ -34,7 +34,10 @@ class SlamEngine:
     ):
         self.cfg = config or ParameterCollection()
         self.cam = cam
-        self.tracker = PoseTracker(cam, self.cfg, landmark_capacity)
+        tracker_cls = (
+            FusedPoseTracker if self.cfg.tracking.use_fused_tracker else PoseTracker
+        )
+        self.tracker = tracker_cls(cam, self.cfg, landmark_capacity)
         wm = self.cfg.world_map
         self.world_map = WorldMap(
             min_distance=wm.minimum_distance_traveled_for_local_map,
@@ -59,9 +62,16 @@ class SlamEngine:
         T = self.tracker.compute(img_l, img_r)
 
         if self.world_map.should_create_local_map(T):
-            self._create_local_map_and_close_loops(T)
+            # Keyframe work reads full tracker state: drain the pipelined
+            # readback first so pose and frame arrays are in sync.
+            self._flush_tracker()
+            self._create_local_map_and_close_loops(self.tracker.T_world_cam)
         self._frame_times.append(time.perf_counter() - t0)
         return T
+
+    def _flush_tracker(self):
+        if hasattr(self.tracker, "flush"):
+            self.tracker.flush()
 
     # ------------------------------------------------------------------
     def _create_local_map_and_close_loops(self, T_world_cam: np.ndarray):
@@ -144,20 +154,37 @@ class SlamEngine:
             eT.append(T_ij)
             ew.append(10.0)  # closure edges x10 (graph_optimizer.cpp:301)
 
+        # Pad poses/edges to power-of-two buckets: the optimizer then
+        # compiles once per bucket instead of once per keyframe count.
+        def pow2(x):
+            return 1 << max(int(np.ceil(np.log2(max(x, 1)))), 3)
+
+        P_pad, E_pad = pow2(n), pow2(len(ei))
+        poses_arr = np.tile(np.eye(4, dtype=np.float32), (P_pad, 1, 1))
+        poses_arr[:n] = np.stack(self.kf_poses).astype(np.float32)
+        eT_arr = np.tile(np.eye(4, dtype=np.float32), (E_pad, 1, 1))
+        eT_arr[: len(ei)] = np.stack(eT).astype(np.float32)
+        ei_arr = np.zeros(E_pad, np.int32)
+        ej_arr = np.zeros(E_pad, np.int32)
+        ew_arr = np.zeros(E_pad, np.float32)
+        ei_arr[: len(ei)] = ei
+        ej_arr[: len(ej)] = ej
+        ew_arr[: len(ew)] = ew
+
         graph = pg.PoseGraph(
-            poses=jnp.asarray(np.stack(self.kf_poses).astype(np.float32)),
-            edge_i=jnp.asarray(ei, jnp.int32),
-            edge_j=jnp.asarray(ej, jnp.int32),
-            edge_T_ij=jnp.asarray(np.stack(eT).astype(np.float32)),
-            edge_weight=jnp.asarray(ew, jnp.float32),
-            edge_valid=jnp.ones(len(ei), bool),
-            pose_valid=jnp.ones(n, bool),
+            poses=jnp.asarray(poses_arr),
+            edge_i=jnp.asarray(ei_arr),
+            edge_j=jnp.asarray(ej_arr),
+            edge_T_ij=jnp.asarray(eT_arr),
+            edge_weight=jnp.asarray(ew_arr),
+            edge_valid=jnp.asarray(np.arange(E_pad) < len(ei)),
+            pose_valid=jnp.asarray(np.arange(P_pad) < n),
         )
         opt, _ = pg.optimize_pose_graph(
             graph,
             iterations=self.cfg.graph_optimization.maximum_number_of_iterations,
         )
-        opt = np.asarray(opt)
+        opt = np.asarray(opt)[:n]
 
         # Rigid back-propagation: move landmarks with their origin local
         # map, and the live tracker pose with the last keyframe.
@@ -203,10 +230,12 @@ class SlamEngine:
     # ------------------------------------------------------------------
     @property
     def trajectory(self) -> np.ndarray:
+        self._flush_tracker()
         return np.stack(self.tracker.trajectory)
 
     def report(self) -> dict:
         """printReport parity (slam_assembly.cpp:622-744)."""
+        self._flush_tracker()
         ft = np.asarray(self._frame_times) if self._frame_times else np.zeros(1)
         stats = self.tracker.stats
         total = time.perf_counter() - self._t_start

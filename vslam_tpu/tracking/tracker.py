@@ -115,6 +115,7 @@ class PoseTracker:
                 capacity=fp.capacity,
                 bin_size=fp.bin_size_pixels,
                 border=fp.border_pixels,
+                descriptor=fp.descriptor_type,
             )
         else:
             frame, n_kp, n_fp = frame_mod.process_depth_frame(
@@ -127,6 +128,7 @@ class PoseTracker:
                 capacity=fp.capacity,
                 bin_size=fp.bin_size_pixels,
                 border=fp.border_pixels,
+                descriptor=fp.descriptor_type,
             )
         n_kp = int(n_kp)
         self.controller.update(n_kp)
@@ -193,15 +195,22 @@ class PoseTracker:
             ok = slots >= 0
             rows, slots = rows[ok], slots[ok]
             if len(rows):
-                xyz_w = lie.transform_point_cloud(T_wc, cur_frame.p_cam[jnp.asarray(rows)])
+                # Fixed-capacity assignment array (one shape for all frames
+                # — variable-length scatters would recompile every frame).
+                assigned = np.full(self.capacity, -1, np.int32)
+                assigned[rows] = slots
+                assigned_dev = jnp.asarray(assigned)
+                xyz_w_all = lie.transform_point_cloud(T_wc, cur_frame.p_cam)
                 self.table = lm_mod.spawn_landmarks(
                     self.table,
-                    jnp.asarray(slots),
-                    xyz_w,
-                    cur_frame.desc[jnp.asarray(rows)],
+                    assigned_dev,
+                    xyz_w_all,
+                    cur_frame.desc,
                     jnp.int32(self.frame_idx),
                 )
-                new_slots = cur_frame.landmark_slot.at[jnp.asarray(rows)].set(jnp.asarray(slots))
+                new_slots = jnp.where(
+                    assigned_dev >= 0, assigned_dev, cur_frame.landmark_slot
+                )
                 cur_frame = cur_frame._replace(landmark_slot=new_slots)
 
         self.table = lm_mod.update_observed(
@@ -229,6 +238,12 @@ class PoseTracker:
 
         if self.prev_frame is None:
             self.status = LOCALIZING
+            if self.frame_idx > 0 and tr.motion_model == "CONSTANT_VELOCITY":
+                # Re-seeding mid-run (checkpoint resume / track loss):
+                # dead-reckon one step so the trajectory stays continuous.
+                self.T_world_cam = (
+                    self.T_world_cam @ np.linalg.inv(self.last_motion)
+                ).astype(np.float32)
             cur_frame = self._spawn_and_update_landmarks(cur_frame)
             self.prev_frame = cur_frame
             self._finish_frame()
@@ -279,3 +294,216 @@ class PoseTracker:
         self.trajectory.append(self.T_world_cam.copy())
         self.frame_idx += 1
         self.stats.n_frames += 1
+
+
+class _AllocatorView:
+    """Allocator facade over the fused tracker's device slot counter."""
+
+    def __init__(self, owner):
+        self._owner = owner
+        self._free: list[int] = []
+
+    @property
+    def _next(self):
+        return int(self._owner.state.next_slot)
+
+    @property
+    def num_allocated(self) -> int:
+        return self._next - len(self._free)
+
+    def release(self, slots):
+        self._free.extend(int(s) for s in np.asarray(slots) if s >= 0)
+
+
+class _ControllerView:
+    def __init__(self, owner):
+        self._owner = owner
+
+    @property
+    def threshold(self) -> float:
+        return float(self._owner.state.threshold)
+
+    @threshold.setter
+    def threshold(self, v: float):
+        self._owner.state = self._owner.state._replace(threshold=jnp.float32(v))
+
+
+class FusedPoseTracker:
+    """Per-frame odometry over the fused single-dispatch device program
+    (tracking/fused.py) — same public surface as PoseTracker, ~1 host<->
+    device round trip per frame instead of ~10.  This is the production
+    tracker; PoseTracker remains the modular reference implementation."""
+
+    def __init__(
+        self,
+        cam: cam_ops.CameraParams,
+        config: ParameterCollection,
+        landmark_capacity: int = 65536,
+    ):
+        from vslam_tpu.tracking import fused
+
+        self.cam = cam
+        self.cfg = config
+        fp = config.framepoint_generation
+        tr = config.tracking
+        n_cells = (cam.rows // fp.bin_size_pixels) * (cam.cols // fp.bin_size_pixels)
+        self.mode = (
+            "depth" if config.command_line.tracker_mode == "RGB_DEPTH" else "stereo"
+        )
+        self.params = fused.FusedParams(
+            capacity=fp.capacity,
+            bin_size=fp.bin_size_pixels,
+            border=fp.border_pixels,
+            mode=self.mode,
+            descriptor=fp.descriptor_type,
+            max_hamming_stereo=fp.maximum_matching_distance_triangulation,
+            epipolar_tol=fp.maximum_epipolar_search_offset_pixels,
+            min_disparity=fp.minimum_disparity_pixels,
+            max_disparity=fp.maximum_disparity_pixels,
+            min_depth=fp.minimum_depth_meters,
+            max_depth=fp.maximum_depth_meters,
+            min_track_for_landmark=tr.minimum_track_length_for_landmark_creation,
+            min_inliers=tr.aligner_minimum_number_of_inliers,
+            radius_min=float(tr.minimum_threshold_distance_tracking_pixels),
+            radius_max=float(tr.maximum_distance_tracking_pixels),
+            gate_min=float(fp.matching_distance_tracking_threshold),
+            good_tracking_ratio=tr.good_tracking_ratio,
+            target_keypoints=min(int(n_cells * 0.7), int(fp.capacity * 0.7)),
+            threshold_min=fp.detector_threshold_minimum,
+            threshold_max=fp.detector_threshold_maximum,
+            threshold_max_change=fp.detector_threshold_maximum_change,
+            gn_config=gn.GNConfig(
+                max_iterations=tr.aligner_maximum_number_of_iterations,
+                kernel_max_error=tr.aligner_maximum_error_kernel,
+                damping=tr.aligner_damping,
+                min_num_inliers=tr.aligner_minimum_number_of_inliers,
+            ),
+        )
+        self._step = fused.make_frame_step(self.params)
+        self.state = fused.init_state(
+            cam, self.params, landmark_capacity,
+            fp.detector_threshold_starting_value,
+        )
+        self.capacity = fp.capacity
+        self.motion_model_on = tr.motion_model == "CONSTANT_VELOCITY"
+        self.trajectory: list[np.ndarray] = []
+        self.stats = TrackerStats()
+        self.allocator = _AllocatorView(self)
+        self.controller = _ControllerView(self)
+        self._pending = None  # (pose_dev, stats_dev) of the frame in flight
+        self._last_pose = np.eye(4, dtype=np.float32)
+
+    # -- state views -----------------------------------------------------
+    @property
+    def prev_frame(self):
+        return self.state.prev
+
+    @prev_frame.setter
+    def prev_frame(self, f):
+        if f is not None:
+            self.state = self.state._replace(prev=f)
+
+    @property
+    def table(self):
+        return self.state.table
+
+    @table.setter
+    def table(self, t):
+        self.state = self.state._replace(table=t)
+
+    @property
+    def T_world_cam(self) -> np.ndarray:
+        return np.asarray(self.state.T_world_cam, dtype=np.float32)
+
+    @T_world_cam.setter
+    def T_world_cam(self, T):
+        self.state = self.state._replace(T_world_cam=jnp.asarray(T, jnp.float32))
+
+    @property
+    def last_motion(self) -> np.ndarray:
+        return np.asarray(self.state.last_motion, dtype=np.float32)
+
+    @last_motion.setter
+    def last_motion(self, T):
+        self.state = self.state._replace(last_motion=jnp.asarray(T, jnp.float32))
+
+    @property
+    def frame_idx(self) -> int:
+        return int(self.state.frame_idx)
+
+    @frame_idx.setter
+    def frame_idx(self, v: int):
+        self.state = self.state._replace(frame_idx=jnp.int32(v))
+
+    @property
+    def status(self) -> str:
+        return TRACKING if self.stats.tracking_ratio > 0 or self.stats.n_frames <= 1 else LOCALIZING
+
+    @status.setter
+    def status(self, v):
+        pass  # derived
+
+    @property
+    def radius_px(self) -> float:
+        return float(self.state.radius_px)
+
+    @radius_px.setter
+    def radius_px(self, v: float):
+        self.state = self.state._replace(radius_px=jnp.float32(v))
+
+    @property
+    def desc_gate(self) -> float:
+        return float(self.state.desc_gate)
+
+    @desc_gate.setter
+    def desc_gate(self, v: float):
+        self.state = self.state._replace(desc_gate=jnp.float32(v))
+
+    # --------------------------------------------------------------------
+    def compute(self, img_l: np.ndarray, img_r: np.ndarray) -> np.ndarray:
+        """Process one frame.  Readback is PIPELINED: the returned pose is
+        the latest harvested one (at most one frame behind); `flush()` (or
+        reading `.trajectory` via the engine) drains the tail.  Keyframe/
+        closure logic tolerates the one-frame lag; anything needing exact
+        current state calls flush() first."""
+        t0 = time.perf_counter()
+        if self.mode == "stereo":
+            imgs = np.stack([img_l, img_r]).astype(np.uint8)
+        else:
+            imgs = np.stack([img_l, img_r]).astype(np.float32)
+        imgs_dev = jax.device_put(imgs)
+        self.state, stats = self._step(
+            self.cam,
+            self.state,
+            imgs_dev,
+            jnp.asarray(self.motion_model_on),
+        )
+        # Dispatch done; harvest the PREVIOUS frame's results while this
+        # one executes on device.
+        self._harvest()
+        self._pending = (self.state.T_world_cam, stats)
+        self.stats.add_time("frame_step", time.perf_counter() - t0)
+        return self._last_pose
+
+    def _harvest(self):
+        if self._pending is None:
+            return
+        pose_dev, stats = self._pending
+        self._pending = None
+        T, st = jax.device_get((pose_dev, stats))
+        T = np.asarray(T, dtype=np.float32)
+        self.trajectory.append(T)
+        self._last_pose = T
+        s = self.stats
+        s.n_frames += 1
+        s.n_keypoints += int(st.n_keypoints)
+        s.n_framepoints += int(st.n_framepoints)
+        s.n_tracked_points += int(st.n_matches)
+        s.n_inliers += int(st.n_inliers)
+        s.tracking_ratio = float(st.n_matches) / max(int(st.n_framepoints), 1)
+        if not bool(st.tracking_ok):
+            s.n_breaks += 1
+
+    def flush(self):
+        """Drain the pipelined readback (call before reading final state)."""
+        self._harvest()
