@@ -78,13 +78,48 @@ def dense_bit_planes(img: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(words)
 
 
+def _use_pallas() -> bool:
+    """The shifted-compare Pallas kernel runs on TPU only; CPU (tests) and
+    other backends keep the conv formulation."""
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:  # pragma: no cover - backend probing never fatal
+        return False
+
+
 def describe_dense(img: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
     """Packed descriptors at (rounded) keypoint coordinates.
 
     img: (H, W) f32; uv: (K, 2) [col, row].  Returns (K, 8) uint32.
     """
-    planes = dense_bit_planes(img)  # (8, H, W)
-    H, W = img.shape
+    if _use_pallas():
+        from vslam_tpu.frontend.pallas_brief import dense_bit_planes_pallas
+
+        planes = dense_bit_planes_pallas(box_blur(img, radius=2))
+    else:
+        planes = dense_bit_planes(img)  # (8, H, W)
+    return _gather_planes(planes, img.shape, uv)
+
+
+def _gather_planes(planes, shape, uv):
+    H, W = shape
     c = jnp.clip(jnp.round(uv[:, 0]).astype(jnp.int32), 0, W - 1)
     r = jnp.clip(jnp.round(uv[:, 1]).astype(jnp.int32), 0, H - 1)
     return planes[:, r, c].T  # (K, 8)
+
+
+def describe_dense_pair(img_l, img_r, uv_l, uv_r):
+    """Both stereo images in one device program (one Pallas launch on TPU).
+
+    Returns (desc_l (K,8) uint32, desc_r (K,8) uint32).
+    """
+    if _use_pallas():
+        from vslam_tpu.frontend.pallas_brief import dense_bit_planes_pallas_batch
+
+        sm = jnp.stack([box_blur(img_l, 2), box_blur(img_r, 2)])
+        planes = dense_bit_planes_pallas_batch(sm)  # (2, 8, H, W)
+        return (
+            _gather_planes(planes[0], img_l.shape, uv_l),
+            _gather_planes(planes[1], img_r.shape, uv_r),
+        )
+    return describe_dense(img_l, uv_l), describe_dense(img_r, uv_r)

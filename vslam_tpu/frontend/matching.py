@@ -1,6 +1,9 @@
 """Stereo epipolar and projective descriptor matching kernels.
 
-Two instantiations of the masked-Hamming-argmin primitive (ops/hamming.py),
+Two instantiations of the masked-Hamming-argmin primitive (ops/hamming.py,
+MXU int8-matmul path: at frame capacity the popcount path materializes a
+K^2 x 8-word XOR intermediate — ~33 MB of HBM traffic — while the bit
+matmul rides the systolic array),
 replacing the reference's serial matchers:
 
   match_stereo      the row-sorted exhaustive epipolar sweep
@@ -54,7 +57,7 @@ def match_stereo(
     max_disparity: jnp.ndarray,  # scalar f32
 ) -> StereoMatches:
     """One-to-one stereo correspondence under epipolar + disparity gates."""
-    dist = hamming.hamming_matrix(desc_l, desc_r)  # (L, R)
+    dist = hamming.hamming_matrix_mxu(desc_l, desc_r)  # (L, R)
     dv = jnp.abs(uv_l[:, None, 1] - uv_r[None, :, 1])
     disp = uv_l[:, None, 0] - uv_r[None, :, 0]
     mask = (
@@ -80,7 +83,7 @@ def match_projective(
     max_hamming: jnp.ndarray,  # scalar int — the adaptive descriptor gate
 ) -> ProjectiveMatches:
     """Track prior points into the current frame by windowed Hamming match."""
-    dist = hamming.hamming_matrix(desc_prev, desc_cur)  # (P, C)
+    dist = hamming.hamming_matrix_mxu(desc_prev, desc_cur)  # (P, C)
     du = jnp.abs(proj_uv[:, None, 0] - uv_cur[None, :, 0])
     dv = jnp.abs(proj_uv[:, None, 1] - uv_cur[None, :, 1])
     mask = (

@@ -50,15 +50,17 @@ DISK_DC = jnp.asarray(_xx.astype(np.float32))
 
 def box_blur(img: jnp.ndarray, radius: int = 2) -> jnp.ndarray:
     """Separable box blur (ORB smooths with a box filter over the integral
-    image); edge-replicated, normalized."""
+    image); edge-replicated, normalized.
+
+    Written as shifted-slice sums, NOT lax.conv: XLA lowers single-channel
+    convolutions to a catastrophic MXU layout on TPU (~25 ms per 376x1241
+    image where the shift-add fusion takes ~50 us)."""
     k = 2 * radius + 1
+    H, W = img.shape
     pad = jnp.pad(img, radius, mode="edge")
-    img4 = pad[None, None]  # NCHW
-    kr = jnp.ones((1, 1, k, 1), img.dtype) / k
-    kc = jnp.ones((1, 1, 1, k), img.dtype) / k
-    out = jax.lax.conv(img4, kr, (1, 1), "VALID")
-    out = jax.lax.conv(out, kc, (1, 1), "VALID")
-    return out[0, 0]
+    rows = sum(pad[i : i + H, :] for i in range(k)) / k  # (H, W + 2r)
+    out = sum(rows[:, j : j + W] for j in range(k)) / k
+    return out
 
 
 def _bilinear(img: jnp.ndarray, r: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:

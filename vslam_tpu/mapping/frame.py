@@ -96,8 +96,11 @@ def process_stereo_pair(
     """
     kl = detect.detect_keypoints(img_l, threshold, bin_size, capacity, border)
     kr = detect.detect_keypoints(img_r, threshold, bin_size, capacity, border)
-    dl = _describe(img_l, kl.uv, descriptor)
-    dr = _describe(img_r, kr.uv, descriptor)
+    if descriptor == "ORB256":
+        dl = _describe(img_l, kl.uv, descriptor)
+        dr = _describe(img_r, kr.uv, descriptor)
+    else:
+        dl, dr = brief.describe_dense_pair(img_l, img_r, kl.uv, kr.uv)
 
     m = matching.match_stereo(
         kl.uv, dl, kl.valid, kr.uv, dr, kr.valid,

@@ -107,31 +107,46 @@ def update_observed(
     Scatters frame measurements into table-aligned arrays, runs the vmapped
     information-form update, refreshes descriptors / counters.
     """
-    M = table.capacity
     obs = point_valid & (slots >= 0)
     tgt = jnp.where(obs, slots, 0)
+    obs = obs & table.valid[tgt]
 
-    meas = jnp.zeros((M, 4), jnp.float32)
-    meas_cur = meas[tgt]
-    meas = meas.at[tgt].set(jnp.where(obs[:, None], uv4, meas_cur))
-    obs_mask = jnp.zeros(M, bool).at[tgt].set(obs) & table.valid
+    # Gather only the K observed landmarks (K = frame capacity, typically
+    # 64x smaller than the table): the vmapped 3x3 GN refinement runs on
+    # K rows instead of the whole table, then results scatter back.  The
+    # allocator guarantees distinct frame points hold distinct slots, so
+    # the .set scatters hit disjoint rows (unused rows alias slot 0 but
+    # write back the unmodified gathered values).
+    xyz_g = table.xyz_w[tgt]
+    H_g = table.H_acc[tgt]
 
     if mode == "stereo":
-        xyz_new, H_new, chi2, inlier = aligners.update_landmarks(
-            cam, table.xyz_w, table.H_acc, T_world_cam, meas, obs_mask
+        xyz_n, H_n, chi2, inlier = aligners.update_landmarks(
+            cam, xyz_g, H_g, T_world_cam, uv4, obs
         )
     else:
-        xyz_new, H_new, chi2, inlier = aligners.update_landmarks_uvd(
-            cam, table.xyz_w, table.H_acc, T_world_cam, meas[:, :3], obs_mask
+        xyz_n, H_n, chi2, inlier = aligners.update_landmarks_uvd(
+            cam, xyz_g, H_g, T_world_cam, uv4[:, :3], obs
         )
 
-    desc_scat = table.desc.at[tgt].set(jnp.where(obs[:, None], desc, table.desc[tgt]))
+    # Predicated ADD-deltas, never .set: unused rows alias slot 0, and a
+    # duplicate-index .set is nondeterministic when a genuine observation
+    # also targets slot 0 — adding a zero delta is safe (cf.
+    # spawn_landmarks).
+    o1 = obs[:, None]
     return table._replace(
-        xyz_w=xyz_new,
-        H_acc=H_new,
-        desc=desc_scat,
-        n_updates=table.n_updates + obs_mask.astype(jnp.int32),
-        last_seen=jnp.where(obs_mask, frame_idx, table.last_seen),
+        xyz_w=table.xyz_w.at[tgt].add(jnp.where(o1, xyz_n - xyz_g, 0.0)),
+        H_acc=table.H_acc.at[tgt].add(
+            jnp.where(obs[:, None, None], H_n - H_g, 0.0)
+        ),
+        # uint32 delta-add is exact mod 2^32: cur + (new - cur) == new.
+        desc=table.desc.at[tgt].add(
+            jnp.where(o1, desc - table.desc[tgt], jnp.uint32(0))
+        ),
+        n_updates=table.n_updates.at[tgt].add(obs.astype(jnp.int32)),
+        last_seen=table.last_seen.at[tgt].max(
+            jnp.where(obs, frame_idx, -1)
+        ),
     )
 
 
