@@ -55,6 +55,16 @@ class TrackerState(NamedTuple):
     next_slot: jnp.ndarray  # int32 scalar
     frame_idx: jnp.ndarray  # int32 scalar
     has_prev: jnp.ndarray  # bool scalar
+    ring: jnp.ndarray  # (RING, RING_W) f32 packed per-frame results
+
+
+# Ring row layout: flattened pose (16) + stats.  A single host readback of
+# the ring harvests many frames in one transfer — over a tunneled device
+# link every device->host get costs ~30 ms regardless of size, so per-frame
+# readbacks (even of a scalar) would cap the pipeline at ~30 fps.
+RING_W = 24
+_R_POSE = slice(0, 16)
+_R_NKP, _R_NFP, _R_NMATCH, _R_NINL, _R_OK, _R_CHI2, _R_NSPAWN, _R_FIDX = range(16, 24)
 
 
 class StepStats(NamedTuple):
@@ -92,6 +102,7 @@ class FusedParams(NamedTuple):
     threshold_min: float = 5.0
     threshold_max: float = 100.0
     threshold_max_change: float = 10.0
+    ring_size: int = 64  # device-side result ring capacity (frames)
     gn_config: gn.GNConfig = gn.GNConfig()
 
 
@@ -108,6 +119,7 @@ def init_state(cam: cam_ops.CameraParams, params: FusedParams,
         next_slot=jnp.int32(0),
         frame_idx=jnp.int32(0),
         has_prev=jnp.asarray(False),
+        ring=jnp.zeros((params.ring_size, RING_W), jnp.float32),
     )
 
 
@@ -172,15 +184,19 @@ def make_frame_step(params: FusedParams):
         else frame_mod.track_and_align_uvd
     )
 
-    # NOTE: no buffer donation — the pipelined readback holds references to
-    # the previous state's pose while the next step is in flight; donating
-    # the state would free those buffers mid-read.  State is ~tens of MB, so
+    # NOTE: no buffer donation — the batched ring readback holds references
+    # to prior states while steps are in flight; donating the state would
+    # free those buffers mid-read.  State is ~tens of MB, so
     # double-buffering is cheap.
     @jax.jit
-    def step(cam, state: TrackerState, imgs, motion_model_on):
-        # imgs: (2, H, W) — uint8 (stereo pair) or f32 (intensity + depth_m);
-        # a single stacked upload, because over a tunneled link per-transfer
-        # latency dwarfs bandwidth.
+    def step(cam, state: TrackerState, chunk, idx, motion_model_on):
+        # chunk: (C, 2, H, W) — uint8 (stereo pairs) or f32 (intensity +
+        # depth_m); idx selects this step's frame.  Frames are uploaded in
+        # C-frame chunks because over a tunneled device link every transfer
+        # interleaved with execution breaks the dispatch pipeline (~27 ms
+        # regardless of size); one chunk upload amortizes that across C
+        # frames.
+        imgs = jax.lax.dynamic_index_in_dim(chunk, idx, 0, keepdims=False)
         img_l = imgs[0].astype(jnp.float32)
         img_r = imgs[1].astype(jnp.float32)
         cur, n_kp, n_fp = _front_end(cam, params, state, img_l, img_r)
@@ -249,6 +265,23 @@ def make_frame_step(params: FusedParams):
         gate = jnp.where(poor, jnp.minimum(state.desc_gate + 5.0, params.gate_max),
                          jnp.maximum(state.desc_gate - 1.0, params.gate_min))
 
+        row = jnp.concatenate([
+            T_world_cam.reshape(16),
+            jnp.stack([
+                n_kp.astype(jnp.float32),
+                n_fp.astype(jnp.float32),
+                res.n_matches.astype(jnp.float32),
+                res.n_inliers.astype(jnp.float32),
+                (ok | ~state.has_prev).astype(jnp.float32),
+                res.mean_chi2.astype(jnp.float32),
+                n_spawned.astype(jnp.float32),
+                state.frame_idx.astype(jnp.float32),
+            ]),
+        ])
+        ring = jax.lax.dynamic_update_slice(
+            state.ring, row[None, :], (state.frame_idx % params.ring_size, 0)
+        )
+
         out = TrackerState(
             prev=cur,
             table=table,
@@ -260,6 +293,7 @@ def make_frame_step(params: FusedParams):
             next_slot=next_slot,
             frame_idx=state.frame_idx + 1,
             has_prev=jnp.asarray(True),
+            ring=ring,
         )
         stats = StepStats(
             n_keypoints=n_kp,

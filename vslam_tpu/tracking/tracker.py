@@ -390,7 +390,18 @@ class FusedPoseTracker:
         self.stats = TrackerStats()
         self.allocator = _AllocatorView(self)
         self.controller = _ControllerView(self)
-        self._pending = None  # (pose_dev, stats_dev) of the frame in flight
+        self._dispatched = 0  # frames sent to the device
+        self._harvested = 0  # frames read back from the ring
+        # On CPU (tests) transfers are ~free: ship/harvest every frame so
+        # the engine sees exact per-frame poses.  Over the TPU tunnel,
+        # batch both directions (see compute()).
+        on_cpu = jax.default_backend() == "cpu"
+        self.harvest_every = 1 if on_cpu else 16
+        self.chunk_size = 1 if on_cpu else 16
+        self._buf: list[np.ndarray] = []
+        # Pre-staged device constants (avoids a tiny upload per step).
+        self._idx = [jnp.int32(i) for i in range(self.chunk_size)]
+        self._motion = jnp.asarray(self.motion_model_on)
         self._last_pose = np.eye(4, dtype=np.float32)
 
     # -- state views -----------------------------------------------------
@@ -433,7 +444,11 @@ class FusedPoseTracker:
 
     @frame_idx.setter
     def frame_idx(self, v: int):
+        # The harvest counters index the result ring by device frame_idx;
+        # keep them in sync when it is reset (checkpoint resume).
         self.state = self.state._replace(frame_idx=jnp.int32(v))
+        self._dispatched = int(v)
+        self._harvested = int(v)
 
     @property
     def status(self) -> str:
@@ -461,49 +476,112 @@ class FusedPoseTracker:
 
     # --------------------------------------------------------------------
     def compute(self, img_l: np.ndarray, img_r: np.ndarray) -> np.ndarray:
-        """Process one frame.  Readback is PIPELINED: the returned pose is
-        the latest harvested one (at most one frame behind); `flush()` (or
-        reading `.trajectory` via the engine) drains the tail.  Keyframe/
-        closure logic tolerates the one-frame lag; anything needing exact
-        current state calls flush() first."""
+        """Process one frame.  Both directions of host<->device traffic are
+        BATCHED, because over a tunneled device link any transfer
+        interleaved with execution stalls the pipeline for ~30 ms
+        regardless of payload:
+
+          uploads   — frames buffer on host and ship as one (C, 2, H, W)
+                      chunk (`chunk_size` frames), then C steps dispatch
+                      against the device-resident chunk;
+          readbacks — poses/stats accumulate in the device-side result
+                      ring; one transfer every `harvest_every` frames
+                      drains them all.
+
+        The returned pose is therefore up to chunk_size + harvest_every
+        frames behind; anything needing exact current state calls flush()
+        first.  On CPU both knobs are 1 and behavior is exact per-frame."""
         t0 = time.perf_counter()
         if self.mode == "stereo":
             imgs = np.stack([img_l, img_r]).astype(np.uint8)
         else:
             imgs = np.stack([img_l, img_r]).astype(np.float32)
-        imgs_dev = jax.device_put(imgs)
-        self.state, stats = self._step(
-            self.cam,
-            self.state,
-            imgs_dev,
-            jnp.asarray(self.motion_model_on),
-        )
-        # Dispatch done; harvest the PREVIOUS frame's results while this
-        # one executes on device.
-        self._harvest()
-        self._pending = (self.state.T_world_cam, stats)
+        self._buf.append(imgs)
+        if len(self._buf) >= self.chunk_size:
+            self._dispatch_chunk()
+        if self._dispatched - self._harvested >= self.harvest_every:
+            self._drain()
         self.stats.add_time("frame_step", time.perf_counter() - t0)
         return self._last_pose
 
-    def _harvest(self):
-        if self._pending is None:
+    def _dispatch_chunk(self):
+        """Upload the buffered frames as one chunk; dispatch their steps."""
+        k = len(self._buf)
+        if k == 0:
             return
-        pose_dev, stats = self._pending
-        self._pending = None
-        T, st = jax.device_get((pose_dev, stats))
-        T = np.asarray(T, dtype=np.float32)
-        self.trajectory.append(T)
-        self._last_pose = T
+        C = self.chunk_size
+        chunk = np.zeros((C,) + self._buf[0].shape, self._buf[0].dtype)
+        for i, f in enumerate(self._buf):
+            chunk[i] = f
+        self._buf.clear()
+        self._dispatch_staged((jax.device_put(chunk), k))
+
+    def _dispatch_staged(self, staged):
+        dev, k = staged
+        for i in range(k):  # padded rows are never dispatched
+            self.state, _ = self._step(
+                self.cam, self.state, dev, self._idx[i], self._motion
+            )
+        self._dispatched += k
+
+    # -- prefetch path ---------------------------------------------------
+    def prestage(self, frame_pairs) -> list:
+        """Upload frames ahead of the compute loop in chunk_size groups.
+
+        Returns opaque handles for compute_prestaged().  This is the data
+        path for dataset playback: the IO pipeline (native prefetcher)
+        decodes and ships frames to the device while earlier frames
+        compute, so the odometry loop never waits on the transfer link."""
+        handles = []
+        C = self.chunk_size
+        dtype = np.uint8 if self.mode == "stereo" else np.float32
+        for i in range(0, len(frame_pairs), C):
+            group = frame_pairs[i : i + C]
+            chunk = np.zeros((C, 2) + group[0][0].shape, dtype)
+            for j, (l, r) in enumerate(group):
+                chunk[j] = np.stack([l, r]).astype(dtype)
+            handles.append((jax.device_put(chunk), len(group)))
+        jax.block_until_ready([h[0] for h in handles])
+        return handles
+
+    def compute_prestaged(self, staged) -> np.ndarray:
+        """Dispatch one prestaged chunk (see prestage())."""
+        t0 = time.perf_counter()
+        self._dispatch_chunk()  # preserve frame order w.r.t. buffered path
+        self._dispatch_staged(staged)
+        if self._dispatched - self._harvested >= self.harvest_every:
+            self._drain()
+        self.stats.add_time("frame_step", time.perf_counter() - t0)
+        return self._last_pose
+
+    def _drain(self):
+        """One device->host transfer harvesting every un-read ring row."""
+        from vslam_tpu.tracking import fused
+
+        if self._dispatched == self._harvested:
+            return
+        assert self._dispatched - self._harvested <= self.params.ring_size
+        ring = np.asarray(jax.device_get(self.state.ring))
         s = self.stats
-        s.n_frames += 1
-        s.n_keypoints += int(st.n_keypoints)
-        s.n_framepoints += int(st.n_framepoints)
-        s.n_tracked_points += int(st.n_matches)
-        s.n_inliers += int(st.n_inliers)
-        s.tracking_ratio = float(st.n_matches) / max(int(st.n_framepoints), 1)
-        if not bool(st.tracking_ok):
-            s.n_breaks += 1
+        for fi in range(self._harvested, self._dispatched):
+            row = ring[fi % self.params.ring_size]
+            T = row[:16].reshape(4, 4).astype(np.float32)
+            self.trajectory.append(T)
+            self._last_pose = T
+            n_fp = int(row[fused._R_NFP])
+            n_matches = int(row[fused._R_NMATCH])
+            s.n_frames += 1
+            s.n_keypoints += int(row[fused._R_NKP])
+            s.n_framepoints += n_fp
+            s.n_tracked_points += n_matches
+            s.n_inliers += int(row[fused._R_NINL])
+            s.tracking_ratio = n_matches / max(n_fp, 1)
+            if row[fused._R_OK] == 0.0:
+                s.n_breaks += 1
+        self._harvested = self._dispatched
 
     def flush(self):
-        """Drain the pipelined readback (call before reading final state)."""
-        self._harvest()
+        """Dispatch any buffered frames and drain the batched readback
+        (call before reading final state)."""
+        self._dispatch_chunk()
+        self._drain()
