@@ -1,0 +1,78 @@
+"""Pluggable detector zoo (reference Detector hierarchy,
+base_framepoint_generator.h:10-107): every detector option finds the
+synthetic corners, Harris/Shi-Tomasi agree with their textbook definitions
+on an oracle patch, and an end-to-end tracker run works on a non-FAST
+detector."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from vslam_tpu.frontend import detect
+from vslam_tpu.io import synthetic
+from vslam_tpu.io.config import ParameterCollection
+from vslam_tpu.ops import camera as cam_ops
+
+CAM = cam_ops.make_camera(fx=500.0, fy=500.0, cx=320.0, cy=160.0,
+                          baseline_m=0.4, rows=320, cols=640)
+
+
+@pytest.fixture(scope="module")
+def image():
+    world = synthetic.make_world(CAM, n_frames=3, n_points=1500, seed=5)
+    img, _, _ = synthetic.render_frame(world, 0)
+    return img, world
+
+
+@pytest.mark.parametrize("det", ["FAST", "FAST12", "AGAST", "HARRIS", "GFTT"])
+def test_detector_finds_corners(image, det):
+    img, _ = image
+    kp = detect.detect_keypoints(
+        jnp.asarray(img), jnp.float32(10.0), 12, 512, 20, det
+    )
+    n = int(np.asarray(kp.valid).sum())
+    assert n > 80, f"{det}: only {n} keypoints"
+
+
+def test_harris_oracle():
+    """Harris response on an ideal corner >> response on an edge."""
+    img = np.zeros((64, 64), np.float32)
+    img[32:, 32:] = 255.0  # corner at (32, 32)
+    s = np.asarray(detect.harris_score_map(jnp.asarray(img), jnp.float32(0.0)))
+    corner = s[29:37, 29:37].max()
+    assert corner > 50.0
+    # Along the edges, far from the corner: no response.
+    assert s[45:60, 28:38].max() < 0.05 * corner  # vertical edge below
+    assert s[28:38, 45:60].max() < 0.05 * corner  # horizontal edge right
+
+
+def test_gftt_oracle():
+    """Min-eigenvalue is ~0 on a pure edge, positive on a corner."""
+    img = np.zeros((64, 64), np.float32)
+    img[:, 32:] = 255.0  # pure vertical edge, no corner
+    s = np.asarray(detect.gftt_score_map(jnp.asarray(img), jnp.float32(0.0)))
+    assert s[10:54, :].max() < 1.0
+    img[32:, :32] = 255.0  # now rows>32 are all bright -> corner at (32,32)
+    s2 = np.asarray(detect.gftt_score_map(jnp.asarray(img), jnp.float32(0.0)))
+    assert s2[29:36, 29:36].max() > 5.0
+
+
+def test_tracker_runs_with_harris(image):
+    _, world = image
+    from vslam_tpu.tracking.tracker import PoseTracker
+    from vslam_tpu.eval import trajectory as traj_eval
+
+    cfg = ParameterCollection()
+    cfg.framepoint_generation.capacity = 512
+    cfg.framepoint_generation.bin_size_pixels = 12
+    cfg.framepoint_generation.detector_type = "HARRIS"
+    cfg.framepoint_generation.detector_threshold_starting_value = 10.0
+    tracker = PoseTracker(CAM, cfg, landmark_capacity=8192)
+    world2 = synthetic.make_world(CAM, n_frames=8, n_points=2000, seed=6, step=0.3)
+    for t in range(8):
+        l, r, _ = synthetic.render_frame(world2, t)
+        tracker.compute(l, r)
+    est = np.stack(tracker.trajectory)
+    rmse, _, _ = traj_eval.ate_rmse(est, world2.poses)
+    assert tracker.stats.n_breaks == 0
+    assert rmse < 0.1, rmse

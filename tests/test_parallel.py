@@ -87,3 +87,39 @@ def test_sharded_search_popcount_path():
         jnp.asarray(q), jnp.asarray(db), jnp.ones(D, bool), mesh, use_mxu=False
     )
     np.testing.assert_array_equal(np.asarray(dist_a), np.asarray(dist_b))
+
+
+def test_sharded_top2_matches_bruteforce():
+    """search_sharded_top2 (the live Relocalizer's query) returns the exact
+    global best and second-best distances, including when a whole shard is
+    masked out (the int32 packing must survive the masked sentinel)."""
+    D, Q = 512, 32
+    db = RNG.integers(0, 2**32, size=(D, 8), dtype=np.uint32)
+    q = db[RNG.choice(D, Q, replace=False)].copy()
+    q[: Q // 2, 1] ^= np.uint32(0b111)
+    valid = np.ones(D, bool)
+    valid[: D // 8] = False  # mask exactly one shard of the 8-device mesh
+
+    mesh = mesh_mod.make_mesh()
+    idx, d1, d2 = sharded_search.search_sharded_top2(
+        jnp.asarray(q), jnp.asarray(db), jnp.asarray(valid), mesh
+    )
+    full = np.array(hamming.hamming_matrix(jnp.asarray(q), jnp.asarray(db)))
+    full[:, ~valid] = 511
+    part = np.sort(full, axis=1)
+    np.testing.assert_array_equal(np.asarray(d1), part[:, 0])
+    np.testing.assert_array_equal(np.asarray(d2), part[:, 1])
+    chosen = full[np.arange(Q), np.asarray(idx)]
+    np.testing.assert_array_equal(chosen, part[:, 0])
+
+
+def test_sharded_top2_all_masked():
+    """Fully-masked database: sentinel distances, no crash, no bogus ok."""
+    D, Q = 256, 8
+    db = RNG.integers(0, 2**32, size=(D, 8), dtype=np.uint32)
+    mesh = mesh_mod.make_mesh()
+    idx, d1, d2 = sharded_search.search_sharded_top2(
+        jnp.asarray(db[:Q]), jnp.asarray(db), jnp.zeros(D, bool), mesh
+    )
+    assert int(np.asarray(d1).min()) == 511
+    assert int(np.asarray(d2).min()) == 511

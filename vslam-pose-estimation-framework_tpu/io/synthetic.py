@@ -1,0 +1,183 @@
+"""Synthetic stereo/RGB-D sequence generator with exact ground truth.
+
+Plays the role of the reference's KITTI test fixtures (dockerfiles
+d2.load-data.dockerfile bake dataset tarballs; no datasets ship in this
+environment): a procedurally textured 3D point world rendered along a known
+trajectory gives stereo pairs + ground-truth poses + ground-truth landmark
+positions, so unit/integration tests and benches can assert real metrics
+(match recall, ATE bounds) rather than "ran to completion".
+
+Rendering is host-side numpy (not a perf path): each world point carries a
+fixed random texture patch (bright-center + random surround) splatted at its projected location with
+z-buffer ordering; the background is low-amplitude fixed noise so FAST
+finds only the intended corners.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from vslam_tpu.ops import camera as cam_ops
+
+
+@dataclass
+class SyntheticWorld:
+    cam: cam_ops.CameraParams
+    points_w: np.ndarray  # (M, 3) world points
+    textures: np.ndarray  # (M, P, P) per-point patches
+    poses: np.ndarray  # (T, 4, 4) T_world_cam ground truth
+    background: np.ndarray  # (H, W) fixed noise background
+    patch: int = 27
+
+
+def corridor_trajectory(n_frames: int, step: float = 0.5, turn_rate: float = 0.004):
+    """Forward motion along +z with gentle yaw — KITTI-like."""
+    from vslam_tpu.ops import lie
+    import jax.numpy as jnp
+
+    poses = [np.eye(4, dtype=np.float32)]
+    for t in range(1, n_frames):
+        yaw = turn_rate * np.sin(t * 0.05)
+        xi = np.array([0.0, 0.0, step, 0.0, yaw, 0.0], np.float32)
+        dT = np.asarray(lie.exp_se3(jnp.asarray(xi)))
+        poses.append((poses[-1] @ dT).astype(np.float32))
+    return np.stack(poses)
+
+
+def circle_trajectory(n_frames: int, radius: float = 8.0):
+    """Closed loop: camera moves on a circle facing the tangent — the last
+    frames re-observe the first frames' scenery (loop-closure fixture)."""
+    poses = []
+    for k in range(n_frames):
+        ang = 2 * np.pi * k / n_frames
+        c, s = np.cos(ang), np.sin(ang)
+        T = np.eye(4, dtype=np.float32)
+        # yaw about +y (camera +z forward, +x right)
+        T[:3, :3] = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+        T[:3, 3] = [radius * (1 - c), 0.0, radius * s]
+        poses.append(T)
+    return np.stack(poses)
+
+
+def make_world(
+    cam: cam_ops.CameraParams,
+    n_frames: int = 60,
+    n_points: int = 4000,
+    seed: int = 0,
+    step: float = 0.5,
+    turn_rate: float = 0.004,
+    patch: int = 27,
+    poses: np.ndarray | None = None,
+) -> SyntheticWorld:
+    rng = np.random.default_rng(seed)
+    if poses is None:
+        poses = corridor_trajectory(n_frames, step, turn_rate)
+    n_frames = len(poses)
+    # Scatter points in a corridor around the whole trajectory.
+    centers = poses[rng.integers(0, n_frames, n_points)][:, :3, 3]
+    offs = np.stack(
+        [
+            rng.uniform(-20, 20, n_points),
+            rng.uniform(-4, 6, n_points),
+            rng.uniform(3, 45, n_points),
+        ],
+        axis=1,
+    )
+    # Offset in the local frame of the sampled pose (so points lie ahead).
+    Rs = poses[rng.integers(0, n_frames, n_points)][:, :3, :3]
+    points = centers + np.einsum("nij,nj->ni", Rs, offs)
+    # Texture design serves two needs at once:
+    #  * REPEATABLE detection — one dominant corner (a bright 5x5 center
+    #    block) so the per-cell argmax lands on the same texel every visit;
+    #  * DISTINCTIVE description — medium-contrast per-landmark random
+    #    texture filling the BRIEF footprint (+-13 px), so descriptors of
+    #    different landmarks differ.  Noise-only textures fail the first
+    #    (many equal-strength corners), uniform blobs fail the second.
+    tex = rng.uniform(0, 140, (n_points, patch, patch)).astype(np.float32)
+    c = patch // 2
+    tex[:, c - 2 : c + 3, c - 2 : c + 3] = rng.uniform(
+        220, 255, (n_points, 5, 5)
+    ).astype(np.float32)
+    bg = rng.uniform(10, 30, (cam.rows, cam.cols)).astype(np.float32)
+    return SyntheticWorld(
+        cam=cam,
+        points_w=points.astype(np.float32),
+        textures=np.clip(tex, 0, 255),
+        poses=poses,
+        background=bg,
+        patch=patch,
+    )
+
+
+def render_frame(world: SyntheticWorld, frame_idx: int):
+    """Render the (left, right) stereo pair for a trajectory frame.
+
+    Returns (img_l, img_r) f32 (H, W) and the ground-truth camera-frame
+    points (M, 3) for debugging.
+    """
+    cam = world.cam
+    T_wc = world.poses[frame_idx]
+    R = T_wc[:3, :3].T
+    t = -R @ T_wc[:3, 3]
+    p_cam = world.points_w @ R.T + t
+
+    fx, fy = float(cam.fx), float(cam.fy)
+    cx, cy = float(cam.cx), float(cam.cy)
+    b = float(cam.baseline_m)
+
+    def render(shift_baseline: bool):
+        img = world.background.copy()
+        zbuf = np.full_like(img, np.inf)
+        z = p_cam[:, 2]
+        vis = z > 0.5
+        u = fx * p_cam[:, 0] / np.where(vis, z, 1.0) + cx
+        if shift_baseline:
+            u = u - fx * b / np.where(vis, z, 1.0)
+        v = fy * p_cam[:, 1] / np.where(vis, z, 1.0) + cy
+        r = world.patch // 2
+        H, W = img.shape
+        order = np.argsort(-z)  # far first; near overwrites
+        for i in order:
+            if not vis[i]:
+                continue
+            ui, vi = int(round(u[i])), int(round(v[i]))
+            if ui < r or ui >= W - r or vi < r or vi >= H - r:
+                continue
+            if z[i] >= zbuf[vi, ui]:
+                continue
+            img[vi - r : vi + r + 1, ui - r : ui + r + 1] = world.textures[i]
+            zbuf[vi - r : vi + r + 1, ui - r : ui + r + 1] = z[i]
+        return img
+
+    return render(False), render(True), p_cam.astype(np.float32)
+
+
+def render_depth_frame(world: SyntheticWorld, frame_idx: int):
+    """Render (intensity, depth_m) for RGB-D mode: depth is exact at
+    rendered patches, 0 (invalid) elsewhere."""
+    cam = world.cam
+    img_l, _, p_cam = render_frame(world, frame_idx)
+    fx, fy = float(cam.fx), float(cam.fy)
+    cx, cy = float(cam.cx), float(cam.cy)
+    depth = np.zeros_like(img_l)
+    z = p_cam[:, 2]
+    vis = z > 0.5
+    u = fx * p_cam[:, 0] / np.where(vis, z, 1.0) + cx
+    v = fy * p_cam[:, 1] / np.where(vis, z, 1.0) + cy
+    r = world.patch // 2
+    H, W = depth.shape
+    order = np.argsort(-z)
+    zbuf = np.full_like(depth, np.inf)
+    for i in order:
+        if not vis[i]:
+            continue
+        ui, vi = int(round(u[i])), int(round(v[i]))
+        if ui < r or ui >= W - r or vi < r or vi >= H - r:
+            continue
+        if z[i] >= zbuf[vi, ui]:
+            continue
+        depth[vi - r : vi + r + 1, ui - r : ui + r + 1] = z[i]
+        zbuf[vi - r : vi + r + 1, ui - r : ui + r + 1] = z[i]
+    return img_l, depth

@@ -1,0 +1,285 @@
+"""Aligner instantiations of the generic GN engine.
+
+Four solvers, all specializations of solve.gn.gauss_newton (SURVEY.md §7.1):
+
+  stereo_uv_align   frame-to-frame 6-DoF pose from 4D [uL,vL,uR,vR]
+                    reprojection residuals — reference StereoUVAligner
+                    (src/aligners/stereouv_aligner.cpp:27-255)
+  uvd_align         RGB-D variant, 3D [u,v,depth] residuals — reference
+                    UVDAligner (src/aligners/uvd_aligner.cpp)
+  icp_align         3D-3D point-to-point for loop-closure verification —
+                    reference XYZAligner (src/aligners/xyz_aligner.cpp)
+  update_landmarks  batched incremental 3-DoF refinement of landmark
+                    positions — reference Landmark::update
+                    (src/types/landmark.cpp:66-167), redesigned as an
+                    information-form recursive GN vmapped over landmarks.
+
+Jacobians come from forward-mode autodiff through the local SE(3)
+parametrization (r(exp(dx) T) at dx = 0) — exact, and fused by XLA into the
+same program as the residual.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from vslam_tpu.ops import camera as cam_ops
+from vslam_tpu.ops import lie
+from vslam_tpu.solve import gn
+
+_ZERO6 = jnp.zeros(6, jnp.float32)
+
+
+def _local_residual(r_of_T, T):
+    """Evaluate residual and its Jacobian wrt the left-mult se(3) tangent."""
+
+    def r_of_dx(dx):
+        return r_of_T(lie.exp_se3(dx) @ T)
+
+    r = r_of_dx(_ZERO6)
+    J = jax.jacfwd(r_of_dx)(_ZERO6)
+    return r, J
+
+
+# ---------------------------------------------------------------------------
+# Stereo UV aligner
+# ---------------------------------------------------------------------------
+
+
+class StereoUVData(NamedTuple):
+    """Per-measurement data, leading dim N (fixed capacity, masked)."""
+
+    p_prev: jnp.ndarray  # (N, 3) points in previous camera frame
+    meas: jnp.ndarray  # (N, 4) measured [uL, vL, uR, vR] in current frame
+    weight: jnp.ndarray  # (N,) e.g. 1 + log(n_updates) for landmarks
+    # (reference stereouv_aligner.cpp:40-46)
+
+
+def make_stereo_uv_residual(cam: cam_ops.CameraParams):
+    def r_of_T_factory(datum):
+        def r_of_T(T):
+            p_cur = lie.transform_points(T, datum.p_prev)
+            uv_l, uv_r, _ = cam_ops.project_stereo(cam, p_cur)
+            pred = jnp.concatenate([uv_l, uv_r], axis=-1)
+            return pred - datum.meas
+
+        return r_of_T
+
+    def residual_fn(T, datum):
+        return _local_residual(r_of_T_factory(datum), T)
+
+    def info_fn(T, datum, r):
+        # Scalar weight x inverse-depth emphasis for near points
+        # (reference stereouv_aligner.cpp:57-61), as a diagonal Omega.
+        z = lie.transform_points(T, datum.p_prev)[2]
+        depth_w = jnp.clip(10.0 / jnp.maximum(z, 0.1), 0.2, 2.0)
+        return (datum.weight * depth_w) * jnp.eye(4, dtype=r.dtype)
+
+    return residual_fn, info_fn
+
+
+@partial(jax.jit, static_argnames=("config",))
+def stereo_uv_align(
+    cam: cam_ops.CameraParams,
+    data: StereoUVData,
+    mask: jnp.ndarray,
+    T0: jnp.ndarray,
+    config: gn.GNConfig = gn.GNConfig(),
+) -> gn.GNResult:
+    """Estimate T_cur_prev (camera motion) from stereo reprojections."""
+    residual_fn, info_fn = make_stereo_uv_residual(cam)
+    # Visibility gating: points projecting behind the camera under the
+    # initial guess are excluded up front (reference skips them in
+    # linearize).
+    z0 = lie.transform_points(T0, data.p_prev)[:, 2]
+    mask = mask & (z0 > 0.01)
+    return gn.gauss_newton(
+        residual_fn,
+        T0,
+        data,
+        mask,
+        config,
+        retract=gn.se3_retract,
+        info_fn=info_fn,
+    )
+
+
+# ---------------------------------------------------------------------------
+# UVD aligner (RGB-D)
+# ---------------------------------------------------------------------------
+
+
+class UVDData(NamedTuple):
+    p_prev: jnp.ndarray  # (N, 3) in previous camera frame
+    meas: jnp.ndarray  # (N, 3) measured [u, v, depth_m]
+    weight: jnp.ndarray  # (N,)
+    depth_reliable: jnp.ndarray  # (N,) bool; unreliable -> uv-only
+
+
+def make_uvd_residual(cam: cam_ops.CameraParams, depth_info_weight: float = 10.0):
+    def residual_fn(T, datum):
+        def r_of_T(Tx):
+            p_cur = lie.transform_points(Tx, datum.p_prev)
+            uv, z = cam_ops.project(cam, p_cur)
+            return jnp.concatenate([uv, z[None]], axis=-1) - datum.meas
+
+        return _local_residual(r_of_T, T)
+
+    def info_fn(T, datum, r):
+        # Depth channel carries extra information when reliable; zero when
+        # not (reference uvd_aligner.cpp:55-61 zeroes translation rows for
+        # unreliable-depth points — here the depth residual is gated).
+        dw = jnp.where(datum.depth_reliable, depth_info_weight, 0.0)
+        diag = jnp.stack([datum.weight, datum.weight, datum.weight * dw])
+        return jnp.diag(diag).astype(r.dtype)
+
+    return residual_fn, info_fn
+
+
+@partial(jax.jit, static_argnames=("config",))
+def uvd_align(
+    cam: cam_ops.CameraParams,
+    data: UVDData,
+    mask: jnp.ndarray,
+    T0: jnp.ndarray,
+    config: gn.GNConfig = gn.GNConfig(),
+) -> gn.GNResult:
+    residual_fn, info_fn = make_uvd_residual(cam)
+    z0 = lie.transform_points(T0, data.p_prev)[:, 2]
+    mask = mask & (z0 > 0.01)
+    return gn.gauss_newton(
+        residual_fn, T0, data, mask, config, retract=gn.se3_retract, info_fn=info_fn
+    )
+
+
+# ---------------------------------------------------------------------------
+# Point-to-point ICP (loop-closure geometric verification)
+# ---------------------------------------------------------------------------
+
+
+class ICPData(NamedTuple):
+    p_moving: jnp.ndarray  # (N, 3) points in query frame
+    p_fixed: jnp.ndarray  # (N, 3) corresponding points in reference frame
+    weight: jnp.ndarray  # (N,) e.g. correspondence matching ratio
+    # (reference xyz_aligner.cpp:13-40)
+
+
+def make_icp_residual():
+    def residual_fn(T, datum):
+        def r_of_T(Tx):
+            return lie.transform_points(Tx, datum.p_moving) - datum.p_fixed
+
+        return _local_residual(r_of_T, T)
+
+    def info_fn(T, datum, r):
+        return datum.weight * jnp.eye(3, dtype=r.dtype)
+
+    return residual_fn, info_fn
+
+
+@partial(jax.jit, static_argnames=("config",))
+def icp_align(
+    data: ICPData,
+    mask: jnp.ndarray,
+    T0: jnp.ndarray,
+    config: gn.GNConfig = gn.GNConfig(),
+) -> gn.GNResult:
+    """Estimate T_ref_query aligning moving onto fixed points."""
+    residual_fn, info_fn = make_icp_residual()
+    return gn.gauss_newton(
+        residual_fn, T0, data, mask, config, retract=gn.se3_retract, info_fn=info_fn
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batched landmark refinement
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def update_landmarks(
+    cam: cam_ops.CameraParams,
+    xyz_world: jnp.ndarray,  # (M, 3) current landmark estimates
+    H_acc: jnp.ndarray,  # (M, 3, 3) accumulated information
+    T_world_cam: jnp.ndarray,  # (4, 4) current camera pose
+    meas_uv4: jnp.ndarray,  # (M, 4) measured [uL, vL, uR, vR]
+    obs_mask: jnp.ndarray,  # (M,) landmarks observed this frame
+    kernel_max_error_px2: float = 9.0 * 4,
+    prior_damping: float = 1.0,
+):
+    """One information-form GN step per observed landmark, vmapped over M.
+
+    Redesign of Landmark::update (src/types/landmark.cpp:66-167): instead of
+    re-iterating over a stored measurement vector per landmark (pointer
+    chasing), each landmark carries a 3x3 information matrix accumulated
+    over its track; a new stereo observation contributes J^T.Omega.J and the
+    position takes a damped step.  Robust gate: observations whose
+    reprojection chi2 exceeds the kernel are downweighted, and steps for
+    unobserved landmarks are zero.
+
+    Returns (xyz_new (M,3), H_new (M,3,3), chi2 (M,), inlier (M,)).
+    """
+    T_cam_world = lie.inverse(T_world_cam)
+
+    def per_landmark(xyz, H, meas):
+        def r_of_x(x):
+            p_cam = lie.transform_points(T_cam_world, x)
+            uv_l, uv_r, _ = cam_ops.project_stereo(cam, p_cam)
+            return jnp.concatenate([uv_l, uv_r]) - meas
+
+        r = r_of_x(xyz)
+        J = jax.jacfwd(r_of_x)(xyz)  # (4, 3)
+        chi2 = jnp.sum(r * r)
+        w = jnp.where(chi2 > kernel_max_error_px2, kernel_max_error_px2 / jnp.maximum(chi2, 1e-9), 1.0)
+        Hm = w * (J.T @ J)
+        bm = w * (J.T @ r)
+        H_new = H + Hm
+        dx = gn.solve_normal_equations(H_new, bm, prior_damping)
+        return xyz + dx, H_new, chi2, chi2 <= kernel_max_error_px2
+
+    xyz_n, H_n, chi2, inl = jax.vmap(per_landmark)(xyz_world, H_acc, meas_uv4)
+    m3 = obs_mask[:, None]
+    xyz_out = jnp.where(m3, xyz_n, xyz_world)
+    H_out = jnp.where(obs_mask[:, None, None], H_n, H_acc)
+    return xyz_out, H_out, chi2, inl & obs_mask
+
+
+@jax.jit
+def update_landmarks_uvd(
+    cam: cam_ops.CameraParams,
+    xyz_world: jnp.ndarray,
+    H_acc: jnp.ndarray,
+    T_world_cam: jnp.ndarray,
+    meas_uvd: jnp.ndarray,  # (M, 3) measured [u, v, depth_m]
+    obs_mask: jnp.ndarray,
+    kernel_max_error: float = 9.0 * 3,
+    prior_damping: float = 1.0,
+    depth_weight: float = 100.0,
+):
+    """RGB-D variant of update_landmarks: [u, v, depth] residual with the
+    depth channel weighted in (pixel^2-comparable) units."""
+    T_cam_world = lie.inverse(T_world_cam)
+    sqrt_dw = jnp.sqrt(depth_weight)
+
+    def per_landmark(xyz, H, meas):
+        def r_of_x(x):
+            p_cam = lie.transform_points(T_cam_world, x)
+            uv, z = cam_ops.project(cam, p_cam)
+            return jnp.concatenate([uv - meas[:2], (z - meas[2])[None] * sqrt_dw])
+
+        r = r_of_x(xyz)
+        J = jax.jacfwd(r_of_x)(xyz)  # (3, 3)
+        chi2 = jnp.sum(r * r)
+        w = jnp.where(chi2 > kernel_max_error, kernel_max_error / jnp.maximum(chi2, 1e-9), 1.0)
+        H_new = H + w * (J.T @ J)
+        dx = gn.solve_normal_equations(H_new, w * (J.T @ r), prior_damping)
+        return xyz + dx, H_new, chi2, chi2 <= kernel_max_error
+
+    xyz_n, H_n, chi2, inl = jax.vmap(per_landmark)(xyz_world, H_acc, meas_uvd)
+    xyz_out = jnp.where(obs_mask[:, None], xyz_n, xyz_world)
+    H_out = jnp.where(obs_mask[:, None, None], H_n, H_acc)
+    return xyz_out, H_out, chi2, inl & obs_mask
