@@ -78,12 +78,12 @@ def test_relocalizer_database_grows():
     """Round-1 bug: the DB silently stopped accepting local maps at
     capacity.  Now it doubles (with a warning) and keeps answering."""
     params = RelocalizationParameters()
-    reloc = Relocalizer(params, capacity=2048)  # 2 QUERY_CAP chunks
+    reloc = Relocalizer(params, capacity=1024)
     n_inserted = 0
     for m in range(40):
         reloc.add_local_map(make_local_map(m))
-        n_inserted += 40
-    assert reloc.capacity > 2048, "database grew"
+        n_inserted += 40  # all slots distinct across maps -> all rows fresh
+    assert reloc.capacity > 1024, "database grew"
     assert reloc.n_rows == n_inserted, "no local map was dropped"
     assert len(reloc.maps) == 40
     # Rows of an early map are still queryable after growth.
@@ -95,13 +95,12 @@ def test_relocalizer_database_grows():
     import jax.numpy as jnp
     from vslam_tpu.loop.relocalizer import _query_database
 
-    eligible = (reloc.row_map_id >= 0) & (reloc.row_map_id <= 89)
     qd = np.zeros((reloc.QUERY_CAP, 8), np.uint32)
     qd[:40] = q.desc[:40]
     idx, ok, dist = _query_database(
-        jnp.asarray(qd), reloc.db_desc,
-        reloc.db_valid & jnp.asarray(eligible),
-        jnp.int32(45), jnp.int32(0),
+        jnp.asarray(qd), reloc.db_desc, reloc.db_map_id,
+        jnp.int32(89), jnp.int32(45), jnp.int32(0),
     )
     assert int(np.asarray(dist)[:40].min()) == 0
-    assert reloc.row_map_id[int(np.asarray(idx)[0])] == 0
+    db_map_id = np.asarray(reloc.db_map_id)
+    assert db_map_id[int(np.asarray(idx)[0])] == 0

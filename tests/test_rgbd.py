@@ -84,3 +84,80 @@ def test_rgbd_landmarks(rgbd_run):
     assert len(xyz) > 30
     d = np.min(np.linalg.norm(xyz[:, None, :] - world.points_w[None, :, :], axis=2), axis=1)
     assert np.median(d) < 0.5
+
+
+def test_rgbd_landmark_recovery():
+    """Depth-mode recoverPoints parity (reference
+    depth_framepoint_generator.cpp:300-408): lost landmark-backed points
+    re-acquired from the dense descriptor planes + registered depth map."""
+    from vslam_tpu.tracking.tracker import FusedPoseTracker
+
+    cfg = ParameterCollection()
+    cfg.command_line.tracker_mode = "RGB_DEPTH"
+    cfg.framepoint_generation.capacity = 256
+    cfg.framepoint_generation.bin_size_pixels = 10
+    cfg.framepoint_generation.maximum_depth_meters = 30.0
+    world = synthetic.make_world(CAM, n_frames=25, n_points=4000, seed=7,
+                                 step=0.3)
+
+    def run(recover):
+        cfg.command_line.option_recover_landmarks = recover
+        tr = FusedPoseTracker(CAM, cfg, landmark_capacity=8192)
+        for t in range(25):
+            img, depth = synthetic.render_depth_frame(world, t)
+            tr.compute(img, depth)
+        tr.flush()
+        return tr
+
+    with_rec = run(True)
+    without = run(False)
+    assert with_rec.stats.n_recovered > 20, with_rec.stats.n_recovered
+
+    def mean_updates(tr):
+        t = tr.state.table
+        v = np.asarray(t.valid)
+        return float(np.asarray(t.n_updates)[v].mean())
+
+    # Depth-mode detection is steadier than stereo (no right-image match to
+    # lose) so the track-length lift is small but must be real.
+    assert mean_updates(with_rec) > mean_updates(without)
+
+
+def test_rgbd_misaligned_depth_sensor_end_to_end():
+    """A depth camera mounted 6 cm to the LEFT of the RGB camera: the
+    tracker registers every depth image through the configured calibration
+    (reference _computeDepthMap runs per frame) and odometry still works."""
+    from vslam_tpu.ops import lie as lie_mod
+    from vslam_tpu.tracking.tracker import FusedPoseTracker
+
+    T_rgb_depth = np.eye(4, dtype=np.float32)
+    T_rgb_depth[0, 3] = -0.06  # depth origin at x=-6cm in the RGB frame
+
+    world = synthetic.make_world(CAM, n_frames=15, n_points=2500, seed=11,
+                                 step=0.3)
+    # Render the depth stream from the DEPTH camera's poses.
+    depth_world = synthetic.SyntheticWorld(
+        cam=world.cam, points_w=world.points_w, textures=world.textures,
+        poses=np.asarray([p @ T_rgb_depth for p in world.poses], np.float32),
+        background=world.background, patch=world.patch,
+    )
+
+    cfg = ParameterCollection()
+    cfg.command_line.tracker_mode = "RGB_DEPTH"
+    cfg.framepoint_generation.capacity = 256
+    cfg.framepoint_generation.bin_size_pixels = 10
+    cfg.framepoint_generation.maximum_depth_meters = 30.0
+    cfg.framepoint_generation.depth_camera_intrinsics = np.asarray(CAM.K).tolist()
+    cfg.framepoint_generation.depth_camera_to_rgb = T_rgb_depth.tolist()
+
+    tr = FusedPoseTracker(CAM, cfg, landmark_capacity=8192)
+    for t in range(15):
+        img, _ = synthetic.render_depth_frame(world, t)
+        _, depth = synthetic.render_depth_frame(depth_world, t)
+        tr.compute(img, depth)
+    tr.flush()
+    est = np.stack(tr.trajectory)
+    rmse, _, _ = traj_eval.ate_rmse(est, world.poses)
+    total = np.sum(np.linalg.norm(np.diff(world.poses[:, :3, 3], axis=0), axis=1))
+    assert tr.stats.n_breaks == 0
+    assert rmse < 0.05 * total, f"ATE {rmse:.3f} m over {total:.1f} m"

@@ -108,6 +108,17 @@ def _gather_planes(planes, shape, uv):
     return planes[:, r, c].T  # (K, 8)
 
 
+def dense_planes(img: jnp.ndarray) -> jnp.ndarray:
+    """Packed BRIEF bit planes for ONE image: (8, H, W) uint32 (the RGB-D
+    pipeline's variant of dense_planes_pair — depth mode has no right
+    image to describe)."""
+    if _use_pallas():
+        from vslam_tpu.frontend.pallas_brief import dense_bit_planes_pallas
+
+        return dense_bit_planes_pallas(box_blur(img, 2))
+    return dense_bit_planes(img)
+
+
 def dense_planes_pair(img_l, img_r) -> jnp.ndarray:
     """Packed BRIEF bit planes for a stereo pair: (2, 8, H, W) uint32.
 

@@ -42,10 +42,9 @@ def save_checkpoint(engine, path: str) -> None:
         "trajectory": np.stack(tracker.trajectory) if tracker.trajectory else np.zeros((0, 4, 4)),
         "kf_poses": np.stack(engine.kf_poses) if engine.kf_poses else np.zeros((0, 4, 4)),
         "kf_odometry": np.stack(engine.kf_odometry) if engine.kf_odometry else np.zeros((0, 4, 4)),
-        "reloc_db_desc": np.asarray(engine.relocalizer.db_desc[: engine.relocalizer.n_rows]),
-        "reloc_row_map_id": engine.relocalizer.row_map_id[: engine.relocalizer.n_rows],
-        "reloc_row_slot": engine.relocalizer.row_slot[: engine.relocalizer.n_rows],
-        "reloc_row_xyz_kf": engine.relocalizer.row_xyz_kf[: engine.relocalizer.n_rows],
+        # The relocalizer database is NOT serialized: it is a pure function
+        # of the local maps (load_checkpoint re-adds them in map_id order,
+        # reproducing rows, dedup bookkeeping and membership exactly).
     }
     if hasattr(tracker, "state"):  # fused: slot free-list lives on device
         fc = int(tracker.state.free_count)
@@ -184,11 +183,12 @@ def load_checkpoint(engine, path: str) -> None:
 
     reloc = engine.relocalizer
     reloc.db_desc = jnp.zeros_like(reloc.db_desc)
-    reloc.db_valid = jnp.zeros_like(reloc.db_valid)
-    reloc.row_map_id[:] = -1
+    reloc.db_map_id = jnp.full_like(reloc.db_map_id, -1)
     reloc.row_slot[:] = -1
     reloc.n_rows = 0
     reloc.maps = {}
     reloc._slot_in_db = set()
+    reloc._slot_maps = {}
+    reloc._map_slot_row = {}
     for m in engine.world_map.local_maps:
         reloc.add_local_map(m)

@@ -78,6 +78,12 @@ class FramepointGenerationParameters:
     maximum_depth_meters: float = 10.0
     minimum_depth_meters: float = 0.3
     depth_scale_factor: float = 1e-3
+    # Misaligned depth sensor calibration (reference registers the depth
+    # image into the RGB camera every frame, _computeDepthMap,
+    # depth_framepoint_generator.cpp:410-484).  None = already registered
+    # (TUM/ICL); otherwise 3x3 / 4x4 row-major nested lists from YAML.
+    depth_camera_intrinsics: list | None = None
+    depth_camera_to_rgb: list | None = None
 
 
 @dataclass

@@ -9,13 +9,37 @@ XOR-popcount/int8-matmul program; votes are counted per reference map, and
 surviving candidates are verified with the point-to-point ICP aligner
 (reference XYZAligner, xyz_aligner.cpp:106-177).
 
+Design notes:
+
+* **One row per landmark** (not per (map, landmark) pair): consecutive
+  local maps share most of their landmarks, and duplicate rows of the SAME
+  landmark would defeat the second-best-margin ambiguity test.  The
+  reference's HBST merges matchables of one landmark the same way
+  (SRRG_MERGE_DESCRIPTORS, relocalizer.cpp:153-171).
+* **Votes follow landmark membership**: a matched row votes for EVERY
+  local map containing that landmark (the merged HBST matchable reports
+  all its (map, landmark) references, relocalizer.cpp:86-123).  Voting
+  only for the first-insertion map would split a revisit's votes across
+  the several maps that first saw those landmarks and no single map would
+  clear the vote gate.
+* **Interspace gating lives on device**: each row carries its
+  first-insertion map id (`db_map_id`); the query program masks rows with
+  `map_id > query_id - interspace` before the arg-min (relocalizer.cpp:
+  74-86) — no per-query host mask upload.
+* **Pipelined API**: `submit(local_map)` runs insert + query as ONE
+  dispatched device program and returns a handle without synchronizing;
+  `resolve(handle)` later reads the small result, votes, and runs ICP only
+  for surviving candidates.  The engine resolves handles after dispatching
+  all of a batch's keyframe work, so closure search overlaps tracking.
+
 The database can be row-sharded over the device mesh via
-parallel/sharded_search.py — the query program is identical.
+parallel/sharded_search.py — the query math is identical.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -28,7 +52,8 @@ from vslam_tpu.solve import aligners, gn
 
 
 @jax.jit
-def _query_database(q_desc, db_desc, db_valid, max_distance, min_margin):
+def _query_database(q_desc, db_desc, db_map_id, max_map_id, max_distance,
+                    min_margin):
     """Best match per query row under a distance gate AND a Lowe-style
     absolute margin against the second-best (the parallel equivalent of the
     reference's ratio test on knnMatch results,
@@ -36,26 +61,71 @@ def _query_database(q_desc, db_desc, db_valid, max_distance, min_margin):
     dominant failure mode of place recognition — match many rows almost
     equally well and are rejected by the margin."""
     dist = hamming.hamming_matrix_mxu(q_desc, db_desc)
-    dist = jnp.where(db_valid[None, :], dist, hamming.BIG)
-    top2_neg, top2_idx = jax.lax.top_k(-dist, 2)
-    best = top2_idx[:, 0].astype(jnp.int32)
-    best_d = -top2_neg[:, 0]
-    second_d = -top2_neg[:, 1]
+    eligible = (db_map_id >= 0) & (db_map_id <= max_map_id)
+    dist = jnp.where(eligible[None, :], dist, hamming.BIG)
+    # Two fused argmin passes instead of top_k: XLA lowers top_k to a full
+    # sort of each 100k+-row slice — two min-reductions are linear.
+    best = jnp.argmin(dist, axis=1).astype(jnp.int32)
+    best_d = jnp.take_along_axis(dist, best[:, None], axis=1)[:, 0]
+    cols = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
+    second_d = jnp.min(
+        jnp.where(cols == best[:, None], hamming.BIG, dist), axis=1
+    )
     ok = (best_d <= max_distance) & (second_d - best_d >= min_margin)
     return best, ok, best_d
 
 
-@jax.jit
-def _insert_chunk(db_desc, db_valid, chunk_desc, chunk_len, offset):
-    """Fixed-shape database append: one compiled program for every insert
-    (variable-length slices would recompile per local-map size)."""
-    chunk = chunk_desc.shape[0]
-    db_desc = jax.lax.dynamic_update_slice(db_desc, chunk_desc, (offset, 0))
-    valid_chunk = (
-        jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0).squeeze(-1) < chunk_len
+@partial(jax.jit, donate_argnums=(2, 3))
+def _query_and_insert(q_desc, fresh, db_desc, db_map_id, offset, map_id,
+                      max_map_id, max_distance, min_margin):
+    """Fused per-keyframe program: query the CURRENT database, then append
+    the query's fresh rows (mask-compacted at `offset`).  One upload + one
+    dispatch per keyframe; rows inserted here carry map_id > max_map_id so
+    the ordering inside the program cannot affect the query result."""
+    best, ok, best_d = _query_database(
+        q_desc, db_desc, db_map_id, max_map_id, max_distance, min_margin
     )
-    db_valid = jax.lax.dynamic_update_slice(db_valid, valid_chunk, (offset,))
-    return db_desc, db_valid
+    cap = db_desc.shape[0]
+    rank = jnp.cumsum(fresh.astype(jnp.int32)) - 1
+    dest = offset + rank
+    put = fresh & (dest < cap)
+    tgt = jnp.where(put, dest, 0)
+    # Predicated add-delta scatters (collision-safe: non-put rows alias 0
+    # and add zero; put rows hit distinct destinations).
+    db_desc = db_desc.at[tgt].add(
+        jnp.where(put[:, None], q_desc - db_desc[tgt], jnp.uint32(0))
+    )
+    db_map_id = db_map_id.at[tgt].add(jnp.where(put, map_id - db_map_id[tgt], 0))
+    return best, ok, best_d, db_desc, db_map_id
+
+
+@partial(jax.jit, donate_argnums=(0, 1))
+def _insert_only(db_desc, db_map_id, q_desc, fresh, offset, map_id):
+    cap = db_desc.shape[0]
+    rank = jnp.cumsum(fresh.astype(jnp.int32)) - 1
+    dest = offset + rank
+    put = fresh & (dest < cap)
+    tgt = jnp.where(put, dest, 0)
+    db_desc = db_desc.at[tgt].add(
+        jnp.where(put[:, None], q_desc - db_desc[tgt], jnp.uint32(0))
+    )
+    db_map_id = db_map_id.at[tgt].add(jnp.where(put, map_id - db_map_id[tgt], 0))
+    return db_desc, db_map_id
+
+
+@jax.jit
+def _eligibility(db_map_id, max_map_id):
+    return (db_map_id >= 0) & (db_map_id <= max_map_id)
+
+
+@dataclass
+class QueryHandle:
+    """An in-flight closure query (resolve with Relocalizer.resolve)."""
+
+    query: LocalMap
+    nq: int
+    idx_dev: jnp.ndarray  # (QUERY_CAP,) int32 db rows
+    ok_dev: jnp.ndarray  # (QUERY_CAP,) bool
 
 
 class Relocalizer:
@@ -70,21 +140,19 @@ class Relocalizer:
         # (the HBST-at-scale replacement, relocalizer.cpp:55-70).
         self.mesh = mesh
         # Device-resident database (fixed capacity, appended in place).
+        # db_map_id is the FIRST-insertion local map of each row (-1 empty);
+        # it doubles as the validity mask and the interspace gate.
         self.db_desc = jnp.zeros((capacity, 8), jnp.uint32)
-        self.db_valid = jnp.zeros(capacity, bool)
+        self.db_map_id = jnp.full(capacity, -1, jnp.int32)
         # Host-side row metadata.
-        self.row_map_id = np.full(capacity, -1, np.int32)
         self.row_slot = np.full(capacity, -1, np.int32)
-        self.row_xyz_kf = np.zeros((capacity, 3), np.float32)
         self.n_rows = 0
         self.maps: dict[int, LocalMap] = {}
-        # One database row per landmark: consecutive local maps share most
-        # of their landmarks, and duplicate rows of the SAME landmark would
-        # defeat the second-best-margin ambiguity test (two identical
-        # descriptors in adjacent maps look like an ambiguous match).  The
-        # reference's HBST merges matchables of one landmark the same way
-        # (SRRG_MERGE_DESCRIPTORS, relocalizer.cpp:153-171).
+        # landmark slot -> every local map containing it (drives voting).
+        self._slot_maps: dict[int, list[int]] = {}
         self._slot_in_db: set[int] = set()
+        # Lazy per-map slot->row index caches for ICP correspondence lookup.
+        self._map_slot_row: dict[int, dict[int, int]] = {}
 
     # ------------------------------------------------------------------
     def _grow(self):
@@ -99,116 +167,130 @@ class Relocalizer:
             f"to {new_cap}"
         )
         db_desc = jnp.zeros((new_cap, 8), jnp.uint32)
-        db_valid = jnp.zeros(new_cap, bool)
+        db_map_id = jnp.full(new_cap, -1, jnp.int32)
         self.db_desc = jax.lax.dynamic_update_slice(db_desc, self.db_desc, (0, 0))
-        self.db_valid = jax.lax.dynamic_update_slice(db_valid, self.db_valid, (0,))
-        for name in ("row_map_id", "row_slot"):
-            old = getattr(self, name)
-            new = np.full(new_cap, -1, old.dtype)
-            new[: self.capacity] = old
-            setattr(self, name, new)
-        xyz = np.zeros((new_cap, 3), np.float32)
-        xyz[: self.capacity] = self.row_xyz_kf
-        self.row_xyz_kf = xyz
+        self.db_map_id = jax.lax.dynamic_update_slice(
+            db_map_id, self.db_map_id, (0,)
+        )
+        row_slot = np.full(new_cap, -1, np.int32)
+        row_slot[: self.capacity] = self.row_slot
+        self.row_slot = row_slot
         self.capacity = new_cap
 
-    def add_local_map(self, lm: LocalMap) -> None:
-        kk = min(len(lm.landmark_slots), self.QUERY_CAP)
-        # Dedup by landmark slot: only landmarks not yet in the database
-        # contribute rows (see _slot_in_db above).
-        fresh = [
-            i for i in range(kk)
-            if int(lm.landmark_slots[i]) not in self._slot_in_db
-        ]
-        k = len(fresh)
+    def _stage_chunk(self, lm: LocalMap):
+        """Host-side prep shared by submit/add: dedup fresh rows, register
+        membership, reserve row metadata.  Returns (q_desc (QUERY_CAP, 8),
+        fresh_mask (QUERY_CAP,), nq, offset)."""
+        nq = min(len(lm.landmark_slots), self.QUERY_CAP)
         self.maps[lm.map_id] = lm
-        if k == 0:
-            return
-        while self.n_rows + self.QUERY_CAP > self.capacity:
+        fresh = np.zeros(self.QUERY_CAP, bool)
+        slots = np.asarray(lm.landmark_slots[:nq])
+        for i in range(nq):
+            s = int(slots[i])
+            self._slot_maps.setdefault(s, []).append(lm.map_id)
+            if s not in self._slot_in_db:
+                fresh[i] = True
+                self._slot_in_db.add(s)
+        k = int(fresh.sum())
+        while self.n_rows + k > self.capacity:
             self._grow()
-        chunk = np.zeros((self.QUERY_CAP, 8), np.uint32)
-        chunk[:k] = lm.desc[fresh]
-        self.db_desc, self.db_valid = _insert_chunk(
-            self.db_desc,
-            self.db_valid,
-            jnp.asarray(chunk),
-            jnp.int32(k),
-            jnp.int32(self.n_rows),
-        )
-        sl = slice(self.n_rows, self.n_rows + k)
-        self.row_map_id[sl] = lm.map_id
-        self.row_slot[sl] = lm.landmark_slots[fresh]
-        self.row_xyz_kf[sl] = lm.xyz_kf[fresh]
-        self.n_rows += k
-        self._slot_in_db.update(int(lm.landmark_slots[i]) for i in fresh)
-
-    # ------------------------------------------------------------------
-    def apply_remap(self, remap: dict[int, int]) -> None:
-        """Follow landmark merges: database rows referencing an absorbed
-        slot now reference its representative (reference LocalMap::replace
-        keeps local maps consistent after merging, local_map.cpp:109-127)."""
-        if not remap or self.n_rows == 0:
-            return
-        rows = self.row_slot[: self.n_rows]
-        for src, dst in remap.items():
-            rows[rows == src] = dst
-            if src in self._slot_in_db:
-                self._slot_in_db.discard(src)
-                self._slot_in_db.add(dst)
-
-    # ------------------------------------------------------------------
-    def detect_and_verify(self, query: LocalMap) -> Closure | None:
-        """Query the database with a new local map; verify the best
-        candidate geometrically.  Returns a Closure or None."""
-        p = self.params
-        if self.n_rows == 0 or len(query.landmark_slots) == 0:
-            return None
-
-        # Interspace gating happens BEFORE the argmin: rows of recent maps
-        # are excluded from the search entirely (relocalizer.cpp:74-86) —
-        # otherwise self-matches at distance 0 always win the argmin and the
-        # true revisit is shadowed.
-        eligible = (
-            self.row_map_id <= query.map_id - p.preliminary_minimum_interspace_queries
-        ) & (self.row_map_id >= 0)
-        # Fixed-shape query: pad to QUERY_CAP so every query compiles once.
-        nq = min(len(query.landmark_slots), self.QUERY_CAP)
         q_desc = np.zeros((self.QUERY_CAP, 8), np.uint32)
-        q_desc[:nq] = query.desc[:nq]
-        valid_rows = self.db_valid & jnp.asarray(eligible)
-        if (
-            self.mesh is not None
-            and self.capacity % self.mesh.size == 0
-            and self.capacity <= (1 << 22)  # packed-index limit
+        q_desc[:nq] = lm.desc[:nq]
+        offset = self.n_rows
+        sel = np.flatnonzero(fresh)
+        self.row_slot[offset : offset + k] = slots[sel]
+        self.n_rows += k
+        return q_desc, fresh, nq, offset
+
+    def add_local_map(self, lm: LocalMap) -> None:
+        """Insert a local map's fresh landmark rows (no query)."""
+        q_desc, fresh, nq, offset = self._stage_chunk(lm)
+        if not fresh.any():
+            return
+        self.db_desc, self.db_map_id = _insert_only(
+            self.db_desc, self.db_map_id,
+            jnp.asarray(q_desc), jnp.asarray(fresh),
+            jnp.int32(offset), jnp.int32(lm.map_id),
+        )
+
+    # ------------------------------------------------------------------
+    def submit(self, lm: LocalMap) -> QueryHandle | None:
+        """Dispatch the fused query+insert program for a new local map.
+
+        Returns a QueryHandle to pass to resolve() later (NO device sync
+        happens here), or None when the database has nothing eligible yet.
+        """
+        p = self.params
+        max_map_id = lm.map_id - p.preliminary_minimum_interspace_queries
+        q_desc, fresh, nq, offset = self._stage_chunk(lm)
+        q_dev = jnp.asarray(q_desc)
+        fresh_dev = jnp.asarray(fresh)
+        if self.mesh is not None and self.capacity % self.mesh.size == 0 and (
+            self.capacity <= (1 << 22)  # packed-index limit
         ):
             from vslam_tpu.parallel import sharded_search
 
+            valid_rows = _eligibility(self.db_map_id, jnp.int32(max_map_id))
             idx, best_d, second_d = sharded_search.search_sharded_top2(
-                jnp.asarray(q_desc), self.db_desc, valid_rows, self.mesh
+                q_dev, self.db_desc, valid_rows, self.mesh
             )
             ok = (best_d <= p.maximum_descriptor_distance) & (
                 second_d - best_d >= p.minimum_second_best_margin
             )
+            self.db_desc, self.db_map_id = _insert_only(
+                self.db_desc, self.db_map_id, q_dev, fresh_dev,
+                jnp.int32(offset), jnp.int32(lm.map_id),
+            )
         else:
-            idx, ok, _ = _query_database(
-                jnp.asarray(q_desc),
-                self.db_desc,
-                valid_rows,
+            idx, ok, _, self.db_desc, self.db_map_id = _query_and_insert(
+                q_dev, fresh_dev, self.db_desc, self.db_map_id,
+                jnp.int32(offset), jnp.int32(lm.map_id),
+                jnp.int32(max_map_id),
                 jnp.int32(p.maximum_descriptor_distance),
                 jnp.int32(p.minimum_second_best_margin),
             )
-        idx = np.asarray(idx)[:nq]
-        ok = np.asarray(ok)[:nq]
+        if max_map_id < 0 or nq == 0:
+            return None
+        return QueryHandle(query=lm, nq=nq, idx_dev=idx, ok_dev=ok)
+
+    def resolve_all(self, handles) -> list[Closure | None]:
+        """Resolve a batch of in-flight queries with ONE device->host
+        transfer (each individual sync costs ~30 ms over a tunneled link)."""
+        live = [h for h in handles if h is not None]
+        if live:
+            fetched = jax.device_get([(h.idx_dev, h.ok_dev) for h in live])
+            for h, (idx, ok) in zip(live, fetched):
+                h.idx_dev, h.ok_dev = idx, ok
+        return [self.resolve(h) for h in handles]
+
+    def resolve(self, handle: QueryHandle | None) -> Closure | None:
+        """Read an in-flight query's result; vote per reference map; verify
+        the winning candidate with robust point-to-point ICP."""
+        if handle is None:
+            return None
+        p = self.params
+        lm = handle.query
+        nq = handle.nq
+        idx = np.asarray(handle.idx_dev)[:nq]
+        ok = np.asarray(handle.ok_dev)[:nq]
         if not ok.any():
             return None
-        map_ids = self.row_map_id[idx]
-        ok = ok & (map_ids >= 0)
-        if not ok.any():
+        max_map_id = lm.map_id - p.preliminary_minimum_interspace_queries
+
+        # Vote: each matched row votes for EVERY eligible map containing
+        # its landmark (merged-matchable semantics, relocalizer.cpp:86-123).
+        votes: dict[int, int] = {}
+        q_rows_all = np.flatnonzero(ok)
+        matched_slots = self.row_slot[idx[q_rows_all]]
+        for s in matched_slots:
+            for mid in self._slot_maps.get(int(s), ()):
+                if mid <= max_map_id:
+                    votes[mid] = votes.get(mid, 0) + 1
+        if not votes:
             return None
-        votes = np.bincount(map_ids[ok], minlength=len(self.maps) + 1)
-        best_map = int(votes.argmax())
-        n_votes = int(votes[best_map])
-        ratio = n_votes / len(query.landmark_slots)
+        best_map = max(votes, key=votes.get)
+        n_votes = votes[best_map]
+        ratio = n_votes / nq
         if (
             ratio < p.preliminary_minimum_matching_ratio
             or n_votes < p.icp_minimum_number_of_inliers
@@ -216,20 +298,35 @@ class Relocalizer:
             from vslam_tpu.utils import log
 
             log.debug(
-                f"closure candidate {best_map}<-{query.map_id}: vote gate "
+                f"closure candidate {best_map}<-{lm.map_id}: vote gate "
                 f"failed ({n_votes} votes, ratio {ratio:.3f})"
             )
             return None
 
-        # Correspondences into the winning map.
-        sel = ok & (map_ids == best_map)
-        q_rows = np.flatnonzero(sel)
-        ref_rows = idx[sel]
-        p_moving = query.xyz_kf[q_rows]  # query keyframe frame
-        p_fixed = self.row_xyz_kf[ref_rows]  # reference keyframe frame
+        # Correspondences into the winning map (positions in ITS keyframe
+        # frame — membership voting means the matched row's first-insertion
+        # map may differ from the winner).
+        ref = self.maps[best_map]
+        slot_row = self._map_slot_row.get(best_map)
+        if slot_row is None:
+            slot_row = {
+                int(s): j for j, s in enumerate(ref.landmark_slots)
+            }
+            self._map_slot_row[best_map] = slot_row
+        pairs = [
+            (int(q), slot_row[int(s)])
+            for q, s in zip(q_rows_all, matched_slots)
+            if int(s) in slot_row
+        ]
+        if len(pairs) < p.icp_minimum_number_of_inliers:
+            return None
+        q_rows = np.asarray([a for a, _ in pairs])
+        r_rows = np.asarray([b for _, b in pairs])
+        p_moving = lm.xyz_kf[q_rows]  # query keyframe frame
+        p_fixed = ref.xyz_kf[r_rows]  # reference keyframe frame
 
         # Geometric verification: robust point-to-point ICP.
-        n = len(q_rows)
+        n = len(pairs)
         cap = 256
         pad = max(cap - n, 0)
         data = aligners.ICPData(
@@ -247,15 +344,23 @@ class Relocalizer:
             min_num_inliers=p.icp_minimum_number_of_inliers,
             max_iterations=50,
         )
+        # Initial guess = the CURRENT (drift-carrying) relative keyframe
+        # pose, as the reference seeds its closure aligners from the world
+        # pose estimates (xyz_aligner.cpp:13-40) — ICP then only corrects
+        # the accumulated drift instead of solving a large transform from
+        # identity.
+        T0 = jnp.asarray(
+            (np.linalg.inv(ref.T_world_kf) @ lm.T_world_kf).astype(np.float32)
+        )
         if p.aligner_type == "FAST-ICP":
             # Fork's AA-ICP (fast_aligner.cpp): Anderson-accelerated
             # IRLS-Procrustes — selected exactly like the reference
             # (relocalizer.cpp:19-27).
             from vslam_tpu.solve import anderson
 
-            res = anderson.fast_icp_align(data, mask, jnp.eye(4), icp_config)
+            res = anderson.fast_icp_align(data, mask, T0, icp_config)
         else:
-            res = aligners.icp_align(data, mask, jnp.eye(4), icp_config)
+            res = aligners.icp_align(data, mask, T0, icp_config)
         n_inl = int(res.num_inliers)
         inlier_ratio = n_inl / max(min(n, cap), 1)
         if (
@@ -266,21 +371,84 @@ class Relocalizer:
             from vslam_tpu.utils import log
 
             log.debug(
-                f"closure candidate {best_map}<-{query.map_id}: ICP rejected "
+                f"closure candidate {best_map}<-{lm.map_id}: ICP rejected "
                 f"(converged={bool(res.converged)}, inliers={n_inl}/"
                 f"{min(n, cap)}, chi2={float(res.chi2):.3f})"
             )
             return None
 
-        corr = np.stack(
-            [np.asarray(query.landmark_slots)[q_rows], self.row_slot[ref_rows]],
-            axis=1,
-        )
+        q_slots = np.asarray(lm.landmark_slots)[q_rows]
+        r_slots = np.asarray(ref.landmark_slots)[r_rows]
+        keep = q_slots != r_slots  # identical slots merge to a no-op
+        corr = np.stack([q_slots[keep], r_slots[keep]], axis=1)
         return Closure(
-            query_id=query.map_id,
+            query_id=lm.map_id,
             reference_id=best_map,
             T_ref_query=np.asarray(res.x),
             n_correspondences=n,
             inlier_ratio=inlier_ratio,
             correspondences=corr.astype(np.int32),
         )
+
+    # ------------------------------------------------------------------
+    def detect_and_verify(self, query: LocalMap) -> Closure | None:
+        """Synchronous query WITHOUT inserting `query` into the database
+        (back-compat surface; the engine uses submit()/resolve()).
+
+        Returns a Closure or None."""
+        p = self.params
+        if self.n_rows == 0 or len(query.landmark_slots) == 0:
+            return None
+        max_map_id = query.map_id - p.preliminary_minimum_interspace_queries
+        if max_map_id < 0:
+            return None
+        nq = min(len(query.landmark_slots), self.QUERY_CAP)
+        q_desc = np.zeros((self.QUERY_CAP, 8), np.uint32)
+        q_desc[:nq] = query.desc[:nq]
+        if (
+            self.mesh is not None
+            and self.capacity % self.mesh.size == 0
+            and self.capacity <= (1 << 22)  # packed-index limit
+        ):
+            from vslam_tpu.parallel import sharded_search
+
+            valid_rows = _eligibility(self.db_map_id, jnp.int32(max_map_id))
+            idx, best_d, second_d = sharded_search.search_sharded_top2(
+                jnp.asarray(q_desc), self.db_desc, valid_rows, self.mesh
+            )
+            ok = (best_d <= p.maximum_descriptor_distance) & (
+                second_d - best_d >= p.minimum_second_best_margin
+            )
+        else:
+            idx, ok, _ = _query_database(
+                jnp.asarray(q_desc),
+                self.db_desc,
+                self.db_map_id,
+                jnp.int32(max_map_id),
+                jnp.int32(p.maximum_descriptor_distance),
+                jnp.int32(p.minimum_second_best_margin),
+            )
+        return self.resolve(
+            QueryHandle(query=query, nq=nq, idx_dev=idx, ok_dev=ok)
+        )
+
+    # ------------------------------------------------------------------
+    def apply_remap(self, remap: dict[int, int]) -> None:
+        """Follow landmark merges: database rows referencing an absorbed
+        slot now reference its representative (reference LocalMap::replace
+        keeps local maps consistent after merging, local_map.cpp:109-127)."""
+        if not remap or self.n_rows == 0:
+            return
+        rows = self.row_slot[: self.n_rows]
+        for src, dst in remap.items():
+            rows[rows == src] = dst
+            if src in self._slot_in_db:
+                self._slot_in_db.discard(src)
+                self._slot_in_db.add(dst)
+            if src in self._slot_maps:
+                dst_maps = self._slot_maps.setdefault(dst, [])
+                dst_maps.extend(
+                    m for m in self._slot_maps.pop(src) if m not in dst_maps
+                )
+        # Per-map slot->row caches hold pre-merge slots; rebuild lazily.
+        self._map_slot_row.clear()

@@ -190,7 +190,7 @@ def process_stereo_pair(
 
 @partial(jax.jit,
          static_argnames=("capacity", "bin_size", "border", "descriptor",
-                          "detector"))
+                          "detector", "want_planes"))
 def process_depth_frame(
     cam: cam_ops.CameraParams,
     img: jnp.ndarray,
@@ -203,18 +203,26 @@ def process_depth_frame(
     border: int = 20,
     descriptor: str = "BRIEF256",
     detector: str = "FAST",
+    want_planes: bool = False,
 ):
     """RGB-D front-end: detect -> describe -> depth gather -> back-project.
 
     FrameState.uv4 carries [u, v, depth_m, 0] in depth mode (the 4th slot
     unused).  Reference: DepthFramePointGenerator::compute
-    (depth_framepoint_generator.cpp:46-164).
+    (depth_framepoint_generator.cpp:46-164).  With want_planes=True (BRIEF
+    path) also returns the (8, H, W) dense descriptor planes for landmark
+    recovery re-description.
     """
     from vslam_tpu.frontend import depth as depth_mod
 
     kp = detect.detect_keypoints(img, threshold, bin_size, capacity, border,
                                  detector)
-    desc = _describe(img, kp.uv, descriptor)
+    planes = None
+    if descriptor == "ORB256" or not want_planes:
+        desc = _describe(img, kp.uv, descriptor)
+    else:
+        planes = brief.dense_planes(img)  # (8, H, W)
+        desc = brief.gather_descriptors(planes, img.shape, kp.uv)
     z = depth_mod.gather_depth(depth_m, kp.uv)
     valid = kp.valid & (z >= min_depth) & (z <= max_depth)
     p_cam = cam_ops.back_project(cam, kp.uv, z)
@@ -230,7 +238,11 @@ def process_depth_frame(
         landmark_slot=jnp.full(capacity, -1, jnp.int32),
         reliable=valid,  # depth sensor points carry measured range
     )
-    return frame, jnp.sum(kp.valid).astype(jnp.int32), jnp.sum(valid).astype(jnp.int32)
+    n_kp = jnp.sum(kp.valid).astype(jnp.int32)
+    n_fp = jnp.sum(valid).astype(jnp.int32)
+    if want_planes:
+        return frame, n_kp, n_fp, planes
+    return frame, n_kp, n_fp
 
 
 class TrackResult(NamedTuple):
@@ -404,6 +416,80 @@ def recover_lost_landmarks(
     cur = cur._replace(
         uv4=put(cur.uv4, uv4_rec, 0.0),
         desc=put(cur.desc, dl, jnp.uint32(0)),
+        p_cam=put(cur.p_cam, p_cam_rec, 0.0),
+        valid=cur.valid.at[tgt].max(use),
+        track_len=put(cur.track_len, prev.track_len + 1, 0),
+        landmark_slot=put(cur.landmark_slot, prev.landmark_slot, 0),
+        reliable=cur.reliable.at[tgt].max(use),
+    )
+    return cur, jnp.sum(use).astype(jnp.int32)
+
+
+def recover_lost_landmarks_depth(
+    cam: cam_ops.CameraParams,
+    prev: FrameState,
+    cur: FrameState,
+    motion: jnp.ndarray,  # (4, 4) T_cur_prev from the pose solve
+    prev_to_cur: jnp.ndarray,  # (K,) match indices, -1 = lost
+    planes,  # (8, H, W) dense BRIEF planes of the intensity image
+    img: jnp.ndarray,
+    depth_m: jnp.ndarray,  # registered depth (meters)
+    desc_gate: jnp.ndarray,
+    min_depth: jnp.ndarray,
+    max_depth: jnp.ndarray,
+    border: int = 20,
+    descriptor: str = "BRIEF256",
+    enabled: jnp.ndarray = True,
+    max_depth_error_ratio: float = 0.2,
+):
+    """RGB-D landmark recovery (reference DepthFramePointGenerator::
+    recoverPoints, depth_framepoint_generator.cpp:300-408): lost
+    landmark-backed points are re-acquired at their solved-pose
+    projections — descriptor re-extracted from the dense planes, depth
+    looked up in the registered map, gated on descriptor distance, the
+    depth range and predicted-vs-measured depth consistency.
+
+    Returns (cur', n_recovered int32).
+    """
+    from vslam_tpu.frontend import depth as depth_mod
+    from vslam_tpu.ops import hamming
+
+    lost = prev.valid & (prev.landmark_slot >= 0) & (prev_to_cur < 0)
+    p_pred = lie.transform_point_cloud(motion, prev.p_cam)
+    uv, z_pred = cam_ops.project(cam, p_pred)
+    vis = cam_ops.in_field_of_view(cam, uv, z_pred, border)
+    if descriptor == "ORB256":
+        d = orb.describe(img, uv)
+    else:
+        d = brief.gather_descriptors(planes, img.shape, uv)
+    dist = hamming.hamming_pairwise(d, prev.desc)
+    z_meas = depth_mod.gather_depth(depth_m, uv)
+    depth_ok = (
+        (z_meas >= min_depth)
+        & (z_meas <= max_depth)
+        & (jnp.abs(z_meas - z_pred) <= max_depth_error_ratio * jnp.maximum(z_meas, 0.5))
+    )
+    ok = lost & vis & (dist <= desc_gate.astype(dist.dtype)) & depth_ok & enabled
+    p_cam_rec = cam_ops.back_project(cam, uv, z_meas)
+
+    # Append into the free rows after the compacted valid block (same
+    # scatter scheme as the stereo recovery above).
+    n_valid = jnp.sum(cur.valid).astype(jnp.int32)
+    order = jnp.cumsum(ok.astype(jnp.int32)) - 1
+    dest = n_valid + order
+    use = ok & (dest < cur.capacity)
+    tgt = jnp.where(use, dest, 0)
+
+    def put(arr, val, zero):
+        u = use.reshape((-1,) + (1,) * (arr.ndim - 1))
+        return arr.at[tgt].add(jnp.where(u, val - arr[tgt], zero))
+
+    uv4_rec = jnp.concatenate(
+        [uv, z_meas[:, None], jnp.zeros_like(z_meas[:, None])], axis=1
+    )
+    cur = cur._replace(
+        uv4=put(cur.uv4, uv4_rec, 0.0),
+        desc=put(cur.desc, d, jnp.uint32(0)),
         p_cam=put(cur.p_cam, p_cam_rec, 0.0),
         valid=cur.valid.at[tgt].max(use),
         track_len=put(cur.track_len, prev.track_len + 1, 0),

@@ -38,6 +38,7 @@ class GNConfig(NamedTuple):
     damping: float = 1.0
     min_num_inliers: int = 10
     tolerance: float = 1e-5  # stop when |delta chi2| / chi2 below this
+    step_tolerance: float = 1e-3  # ...AND the GN step norm is below this
     refine_iterations: int = 10  # inlier-only refinement rounds (converge())
     max_step_norm: float = 1.0  # trust-region clamp on |dx| per round
 
@@ -129,29 +130,37 @@ def gauss_newton(
         # masks) — keep the previous iterate instead.
         ok = jnp.all(jnp.isfinite(dx))
         x_new = jnp.where(ok, x_new, x)
-        return x_new, total_chi2, inliers
+        return x_new, total_chi2, inliers, jnp.where(ok, norm, 0.0)
 
-    # Phase 1: robust GN over all measurements until chi2 stalls.
+    # Phase 1: robust GN over all measurements until chi2 stalls AND the
+    # step norm is small.  The chi2 test alone is a trap with the clamping
+    # kernel: every outlier contributes exactly `kernel` to the weighted
+    # cost, so a far-from-converged solve where ALL residuals exceed the
+    # kernel has CONSTANT cost and would stop after 2 rounds even though
+    # the IRLS steps are still large (the closure-ICP failure mode).
     def cond(state):
-        x, prev_chi2, chi2, it, _ = state
+        x, prev_chi2, chi2, it, _, step = state
         rel = jnp.abs(prev_chi2 - chi2) / jnp.maximum(chi2, 1e-12)
-        return (it < config.max_iterations) & ((it < 2) | (rel > config.tolerance))
+        return (it < config.max_iterations) & (
+            (it < 2) | (rel > config.tolerance) | (step > config.step_tolerance)
+        )
 
     all_true = jnp.ones_like(mask)
 
     def body(state):
-        x, _, chi2, it, inl = state
-        x_new, new_chi2, inliers = one_round(x, all_true)
-        return (x_new, chi2, new_chi2, it + 1, inliers)
+        x, _, chi2, it, inl, _ = state
+        x_new, new_chi2, inliers, step = one_round(x, all_true)
+        return (x_new, chi2, new_chi2, it + 1, inliers, step)
 
-    init = (x0, jnp.float32(jnp.inf), jnp.float32(1e30), jnp.int32(0), mask)
-    x, _, chi2, iters, inliers = jax.lax.while_loop(cond, body, init)
+    init = (x0, jnp.float32(jnp.inf), jnp.float32(1e30), jnp.int32(0), mask,
+            jnp.float32(jnp.inf))
+    x, _, chi2, iters, inliers, _ = jax.lax.while_loop(cond, body, init)
 
     # Phase 2: fixed number of inlier-only refinement rounds
     # (reference `converge` pattern, stereouv_aligner.cpp:210-255).
     def refine_body(i, carry):
         x, inliers = carry
-        x_new, _, new_inl = one_round(x, inliers)
+        x_new, _, new_inl, _ = one_round(x, inliers)
         # Reject a refinement round that collapses the inlier set
         # (reference keeps the previous estimate in that case).
         keep = jnp.sum(new_inl) >= config.min_num_inliers

@@ -92,6 +92,7 @@ class SlamEngine:
         self.kf_odom_weight: list[float] = []  # breakTrack-aware edge weights
         self.closure_edges: list[tuple[int, int, np.ndarray]] = []
         self._breaks_consumed = 0
+        self._slot_remap: dict[int, int] = {}  # absorbed -> representative
         self._last_ba_frame = 0
         self.n_optimizations = 0
         self.n_merges = 0
@@ -139,17 +140,29 @@ class SlamEngine:
             self._consume_keyframe_events()
 
     def _consume_keyframe_events(self):
+        """Pipelined keyframe path: register every harvested snapshot and
+        DISPATCH its closure query (one fused query+insert device program,
+        no sync), then resolve the queries afterwards — closure search
+        overlaps the tracker's dispatched work instead of stalling it.
+        World-frame corrections from a resolved closure are global
+        (rewrite every keyframe pose / the landmark table / the stored
+        trajectory), so registering all snapshots first is exact."""
         snaps = self.tracker.pop_keyframes()
-        for i, snap in enumerate(snaps):
-            C = self._handle_keyframe(snap)
-            if C is not None:
-                # Later snapshots in this batch were harvested before the
-                # correction existed: move them into the new world frame.
-                for later in snaps[i + 1 :]:
-                    later.T_world_kf = (C @ later.T_world_kf).astype(np.float32)
-                    later.xyz_w = (
-                        later.xyz_w @ C[:3, :3].T + C[:3, 3]
-                    ).astype(np.float32)
+        if not snaps:
+            return
+        handles = []
+        for snap in snaps:
+            local_map = self._register_keyframe(snap)
+            if self.open_loop:
+                self.relocalizer.add_local_map(local_map)
+            else:
+                with log.measure("relocalization"):
+                    handles.append(self.relocalizer.submit(local_map))
+        with log.measure("relocalization"):
+            closures = self.relocalizer.resolve_all(handles)
+        for closure in closures:
+            if closure is not None:
+                self._apply_closure(closure)
 
     def _synchronous_keyframe_path(self):
         """Host-side keyframe trigger for the modular tracker (reference
@@ -187,11 +200,25 @@ class SlamEngine:
 
     # ------------------------------------------------------------------
     def _handle_keyframe(self, snap: KeyframeSnapshot) -> np.ndarray | None:
-        """Local-map creation + loop-closure path for one keyframe event.
+        """Synchronous keyframe path (modular-tracker fallback): register
+        the snapshot, then query+verify immediately.
 
         Returns the most-recent-segment correction (4,4) if a pose-graph
         optimization ran, else None.
         """
+        local_map = self._register_keyframe(snap)
+        if self.open_loop:
+            self.relocalizer.add_local_map(local_map)
+            return None
+        with log.measure("relocalization"):
+            closure = self.relocalizer.resolve(self.relocalizer.submit(local_map))
+        if closure is None:
+            return None
+        return self._apply_closure(closure)
+
+    def _register_keyframe(self, snap: KeyframeSnapshot):
+        """Local-map creation + pose-graph vertex/odometry bookkeeping + BA
+        cadence for one keyframe event; returns the new LocalMap."""
         assert snap.map_id == len(self.world_map.local_maps), (
             snap.map_id,
             len(self.world_map.local_maps),
@@ -219,32 +246,35 @@ class SlamEngine:
                 BREAK_EDGE_WEIGHT if spans_break else 1.0
             )
 
-        if self.open_loop:
-            self.relocalizer.add_local_map(local_map)
-            return None
+        # Full BA runs on its frame cadence regardless of relocalization
+        # (reference optimizeFactorGraph is gated only on the BA flag +
+        # cadence, slam_assembly.cpp:558-568).
+        self._maybe_run_bundle_adjustment(snap)
+        return local_map
 
-        with log.measure("relocalization"):
-            closure = self.relocalizer.detect_and_verify(local_map)
-            self.relocalizer.add_local_map(local_map)
-        correction = None
-        if closure is not None:
-            self.world_map.add_closure(closure)
-            # T_ref_query maps query-keyframe coords into reference-keyframe
-            # coords, i.e. the measured relative pose T_{ref<-query}; the pose
-            # graph wants T_ij = T_i^-1 T_j with i=reference vertex.
-            self.closure_edges.append(
-                (closure.reference_id, closure.query_id, closure.T_ref_query)
-            )
-            with log.measure("pose_graph_optimization"):
-                correction = self._optimize_pose_graph()
+    def _apply_closure(self, closure) -> np.ndarray | None:
+        """Pose-graph optimization + landmark merging for a verified
+        closure; returns the last-segment correction (or None)."""
+        self.world_map.add_closure(closure)
+        # T_ref_query maps query-keyframe coords into reference-keyframe
+        # coords, i.e. the measured relative pose T_{ref<-query}; the pose
+        # graph wants T_ij = T_i^-1 T_j with i=reference vertex.
+        self.closure_edges.append(
+            (closure.reference_id, closure.query_id, closure.T_ref_query)
+        )
+        with log.measure("pose_graph_optimization"):
+            correction = self._optimize_pose_graph()
 
-            # Merge corresponding landmarks (reference mergeLandmarks after
-            # closure optimization, world_map.cpp:305).
-            with log.measure("landmark_merging"):
-                self._merge_closure_landmarks(closure)
+        # Merge corresponding landmarks (reference mergeLandmarks after
+        # closure optimization, world_map.cpp:305).
+        with log.measure("landmark_merging"):
+            self._merge_closure_landmarks(closure)
 
-        # Full BA every number_of_frames_per_bundle_adjustment frames
-        # (reference optimizeFactorGraph cadence, graph_optimizer.cpp:459).
+        return correction
+
+    def _maybe_run_bundle_adjustment(self, snap: KeyframeSnapshot):
+        """Full BA every number_of_frames_per_bundle_adjustment frames
+        (reference optimizeFactorGraph cadence, graph_optimizer.cpp:459)."""
         gopt = self.cfg.graph_optimization
         if (
             gopt.enable_full_bundle_adjustment
@@ -255,16 +285,28 @@ class SlamEngine:
             self._last_ba_frame = snap.frame_idx
             with log.measure("bundle_adjustment"):
                 self._run_bundle_adjustment()
-        return correction
 
     def _merge_closure_landmarks(self, closure):
         tracker = self.tracker
+        # Translate through merges already applied this run: with batched
+        # query resolution a closure's correspondences may reference slots an
+        # earlier closure in the same batch absorbed.
+        corr = np.asarray(closure.correspondences)
+        if self._slot_remap and len(corr):
+            corr = np.vectorize(lambda s: self._slot_remap.get(int(s), int(s)))(
+                corr
+            ).astype(np.int32)
+            corr = corr[corr[:, 0] != corr[:, 1]]
         tracker.table, remap = merging.merge_landmarks(
-            tracker.table, tracker.allocator, closure.correspondences
+            tracker.table, tracker.allocator, corr
         )
         self.n_merges += len(remap)
         if not remap:
             return
+        # Fold into the cumulative remap (compress chains).
+        for k, v in self._slot_remap.items():
+            self._slot_remap[k] = remap.get(v, v)
+        self._slot_remap.update(remap)
         # Every external slot reference follows the merge: live frame,
         # local maps, and the relocalizer's row metadata (reference
         # LocalMap::replace, local_map.cpp:109-127).

@@ -194,11 +194,20 @@ def push_free_slots(free_list, free_count, slots):
     return free_list, free_count + jnp.sum(push).astype(jnp.int32)
 
 
-def _front_end(cam, params: FusedParams, state, img_l, img_r):
+def _front_end(cam, params: FusedParams, state, img_l, img_r,
+               depth_calib=None):
     """Returns (frame, n_kp, n_fp, planes) — planes are the dense BRIEF
-    descriptor maps (None in ORB/depth modes), kept for landmark recovery."""
+    descriptor maps (None in ORB mode), kept for landmark recovery.
+
+    depth_calib: optional (K_depth (3,3), T_rgb_depth (4,4)) for a depth
+    sensor NOT aligned with the intensity camera — the depth image is
+    reprojected/z-buffered into the RGB frame first (reference
+    _computeDepthMap, depth_framepoint_generator.cpp:410-484).  NOTE: the
+    fused step registers BEFORE calling here (_register_depth_input) so
+    recovery sees the same registered map; this parameter serves direct
+    callers."""
+    want_planes = params.enable_recovery and params.descriptor != "ORB256"
     if params.mode == "stereo":
-        want_planes = params.enable_recovery and params.descriptor != "ORB256"
         out = frame_mod.stereo_frontend_core(
             cam, img_l, img_r, state.threshold,
             jnp.int32(params.max_hamming_stereo),
@@ -215,12 +224,21 @@ def _front_end(cam, params: FusedParams, state, img_l, img_r):
         if want_planes:
             return out
         return out + (None,)
-    return frame_mod.process_depth_frame(
+    if depth_calib is not None:
+        from vslam_tpu.frontend import depth as depth_mod
+
+        K_depth, T_rgb_depth = depth_calib
+        img_r = depth_mod.register_depth(cam, img_r, K_depth, T_rgb_depth)
+    out = frame_mod.process_depth_frame(
         cam, img_l, img_r, state.threshold,
         jnp.float32(params.min_depth), jnp.float32(params.max_depth),
         capacity=params.capacity, bin_size=params.bin_size, border=params.border,
         descriptor=params.descriptor, detector=params.detector,
-    ) + (None,)
+        want_planes=want_planes,
+    )
+    if want_planes:
+        return out
+    return out + (None,)
 
 
 def _spawn_and_update(cam, params: FusedParams, state, cur):
@@ -359,6 +377,17 @@ def _step_tail(cam, params: FusedParams, track_fn, state: TrackerState,
             jnp.minimum(state.desc_gate, params.max_recovery_gate),
             jnp.float32(params.min_disparity),
             jnp.float32(params.max_disparity),
+            border=params.border,
+            descriptor=params.descriptor,
+            enabled=ok,
+        )
+    elif params.enable_recovery and params.mode == "depth":
+        cur, n_recovered = frame_mod.recover_lost_landmarks_depth(
+            cam, state.prev, cur, motion, res.prev_to_cur, planes,
+            img_l, img_r,
+            jnp.minimum(state.desc_gate, params.max_recovery_gate),
+            jnp.float32(params.min_depth),
+            jnp.float32(params.max_depth),
             border=params.border,
             descriptor=params.descriptor,
             enabled=ok,
@@ -530,7 +559,18 @@ def _step_tail(cam, params: FusedParams, track_fn, state: TrackerState,
     return out, stats
 
 
-def make_frame_step(params: FusedParams):
+def _register_depth_input(cam, params: FusedParams, img_r, depth_calib):
+    """Reproject a misaligned depth image into the RGB frame (no-op in
+    stereo mode or when the sensors are already aligned)."""
+    if params.mode != "depth" or depth_calib is None:
+        return img_r
+    from vslam_tpu.frontend import depth as depth_mod
+
+    K_depth, T_rgb_depth = depth_calib
+    return depth_mod.register_depth(cam, img_r, K_depth, T_rgb_depth)
+
+
+def make_frame_step(params: FusedParams, depth_calib=None):
     """Build the fully-fused per-frame step specialized to static params.
 
     The returned `step(cam, state, chunk, idx, motion_model_on, odom_chunk,
@@ -562,7 +602,9 @@ def make_frame_step(params: FusedParams):
              odom_chunk, use_odom):
         imgs = jax.lax.dynamic_index_in_dim(chunk, idx, 0, keepdims=False)
         img_l = imgs[0].astype(jnp.float32)
-        img_r = imgs[1].astype(jnp.float32)
+        img_r = _register_depth_input(
+            cam, params, imgs[1].astype(jnp.float32), depth_calib
+        )
         cur, n_kp, n_fp, planes = _front_end(cam, params, state, img_l, img_r)
         T_odom = jax.lax.dynamic_index_in_dim(odom_chunk, idx, 0, keepdims=False)
         return _step_tail(cam, params, track_fn, state, cur, n_kp, n_fp,
@@ -572,7 +614,7 @@ def make_frame_step(params: FusedParams):
     return step
 
 
-def make_chunk_frontend(params: FusedParams):
+def make_chunk_frontend(params: FusedParams, depth_calib=None):
     """Batched front-end over a whole frame chunk — the data-parallel
     half of the split pipeline (SURVEY §2.9 "batch/data parallelism of the
     front-end"): detection, description and stereo matching for all C
@@ -585,17 +627,15 @@ def make_chunk_frontend(params: FusedParams):
     The detector threshold is shared across the chunk (the sequential
     controller still updates it chunk-to-chunk via the track steps).
     """
-    want_planes = (
-        params.enable_recovery
-        and params.mode == "stereo"
-        and params.descriptor != "ORB256"
-    )
+    want_planes = params.enable_recovery and params.descriptor != "ORB256"
 
     @jax.jit
     def frontend(cam, threshold, chunk):
         def one(pair):
             img_l = pair[0].astype(jnp.float32)
-            img_r = pair[1].astype(jnp.float32)
+            img_r = _register_depth_input(
+                cam, params, pair[1].astype(jnp.float32), depth_calib
+            )
             if params.mode == "stereo":
                 out = frame_mod.stereo_frontend_core(
                     cam, img_l, img_r, threshold,
@@ -611,20 +651,21 @@ def make_chunk_frontend(params: FusedParams):
                     want_planes=want_planes,
                 )
                 return out if want_planes else out + (None,)
-            return frame_mod.process_depth_frame(
+            out = frame_mod.process_depth_frame(
                 cam, img_l, img_r, threshold,
                 jnp.float32(params.min_depth), jnp.float32(params.max_depth),
                 capacity=params.capacity, bin_size=params.bin_size,
                 border=params.border, descriptor=params.descriptor,
-                detector=params.detector,
-            ) + (None,)
+                detector=params.detector, want_planes=want_planes,
+            )
+            return out if want_planes else out + (None,)
 
         return jax.vmap(one)(chunk)
 
     return frontend
 
 
-def make_track_step(params: FusedParams):
+def make_track_step(params: FusedParams, depth_calib=None):
     """The sequential half of the split pipeline: consumes one precomputed
     FrameState (+ descriptor planes) from the chunk front-end and runs the
     tracking/mapping tail — identical semantics to make_frame_step by
@@ -646,7 +687,9 @@ def make_track_step(params: FusedParams):
         planes = None if planes_batch is None else pick(planes_batch)
         imgs = pick(chunk)
         img_l = imgs[0].astype(jnp.float32)
-        img_r = imgs[1].astype(jnp.float32)
+        img_r = _register_depth_input(
+            cam, params, imgs[1].astype(jnp.float32), depth_calib
+        )
         T_odom = pick(odom_chunk)
         return _step_tail(cam, params, track_fn, state, cur, n_kp, n_fp,
                           planes, img_l, img_r, motion_model_on, T_odom,

@@ -31,6 +31,18 @@ LOCALIZING = "Localizing"
 TRACKING = "Tracking"
 
 
+def _depth_calibration(fp):
+    """Optional misaligned-depth-sensor calibration from config:
+    (K_depth (3,3), T_rgb_depth (4,4)) device arrays, or None when the
+    depth image is already registered to the RGB camera."""
+    if fp.depth_camera_intrinsics is None or fp.depth_camera_to_rgb is None:
+        return None
+    return (
+        jnp.asarray(np.asarray(fp.depth_camera_intrinsics, np.float32).reshape(3, 3)),
+        jnp.asarray(np.asarray(fp.depth_camera_to_rgb, np.float32).reshape(4, 4)),
+    )
+
+
 @dataclass
 class KeyframeSnapshot:
     """One harvested keyframe event from the fused tracker's device-side
@@ -142,10 +154,16 @@ class PoseTracker:
                 detector=fp.detector_type,
             )
         else:
+            depth = jnp.asarray(img_r, jnp.float32)
+            calib = _depth_calibration(fp)
+            if calib is not None:
+                from vslam_tpu.frontend import depth as depth_mod
+
+                depth = depth_mod.register_depth(self.cam, depth, *calib)
             frame, n_kp, n_fp = frame_mod.process_depth_frame(
                 self.cam,
                 jnp.asarray(img_l, jnp.float32),
-                jnp.asarray(img_r, jnp.float32),
+                depth,
                 jnp.float32(self.controller.threshold),
                 jnp.float32(fp.minimum_depth_meters),
                 jnp.float32(fp.maximum_depth_meters),
@@ -434,10 +452,7 @@ class FusedPoseTracker:
             min_track_for_landmark=tr.minimum_track_length_for_landmark_creation,
             min_inliers=tr.aligner_minimum_number_of_inliers,
             min_inlier_ratio=tr.aligner_minimum_inlier_ratio,
-            enable_recovery=(
-                config.command_line.option_recover_landmarks
-                and config.command_line.tracker_mode == "RGB_STEREO"
-            ),
+            enable_recovery=config.command_line.option_recover_landmarks,
             radius_min=float(tr.minimum_threshold_distance_tracking_pixels),
             radius_max=float(tr.maximum_distance_tracking_pixels),
             gate_min=float(fp.matching_distance_tracking_threshold),
@@ -463,12 +478,13 @@ class FusedPoseTracker:
                 min_num_inliers=tr.aligner_minimum_number_of_inliers,
             ),
         )
+        depth_calib = _depth_calibration(fp)
         if self.params.split_frontend:
-            self._frontend = fused.make_chunk_frontend(self.params)
-            self._track_step = fused.make_track_step(self.params)
+            self._frontend = fused.make_chunk_frontend(self.params, depth_calib)
+            self._track_step = fused.make_track_step(self.params, depth_calib)
             self._step = None
         else:
-            self._step = fused.make_frame_step(self.params)
+            self._step = fused.make_frame_step(self.params, depth_calib)
         self.state = fused.init_state(
             cam, self.params, landmark_capacity,
             fp.detector_threshold_starting_value,
