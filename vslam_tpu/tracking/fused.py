@@ -181,6 +181,15 @@ def init_state(cam: cam_ops.CameraParams, params: FusedParams,
 
 
 @jax.jit
+def gather_kf_rows(kf_pose, kf_frame_idx, kf_n, kf_slots, kf_xyz, kf_desc,
+                   kf_uv4, rows):
+    """Compact the given keyframe ring rows into (len(rows), ...) blocks —
+    the harvest then transfers only new snapshots instead of whole rings."""
+    return (kf_pose[rows], kf_frame_idx[rows], kf_n[rows], kf_slots[rows],
+            kf_xyz[rows], kf_desc[rows], kf_uv4[rows])
+
+
+@jax.jit
 def push_free_slots(free_list, free_count, slots):
     """Push released slot ids (-1 = skip) onto the device free stack —
     used when landmark merges free absorbed slots."""

@@ -774,20 +774,32 @@ class FusedPoseTracker:
     def _harvest_keyframes(self, kf_total: int):
         """Pull new keyframe snapshots from the device ring (only runs when
         the result ring says new keyframes exist — typically one extra
-        transfer every few drains)."""
+        transfer every few drains).
+
+        Only the NEW rows travel: a bucketed device-side gather compacts
+        them first (the full rings are ~2 MB and the tunnel link is slow —
+        shipping everything cost ~4.5 ms/frame in the closed-loop engine)."""
+        from vslam_tpu.tracking import fused
+
         start = self._kf_harvested
         KR = self.params.kf_ring_size
-        assert kf_total - start <= KR, (
-            f"keyframe ring overflow: {kf_total - start} keyframes since last "
+        n_new = kf_total - start
+        assert n_new <= KR, (
+            f"keyframe ring overflow: {n_new} keyframes since last "
             f"drain > ring size {KR}"
         )
+        bucket = 1 << max(int(np.ceil(np.log2(max(n_new, 1)))), 2)
+        rows = np.zeros(bucket, np.int32)
+        rows[:n_new] = [k % KR for k in range(start, kf_total)]
         st = self.state
         pose, fidxs, ns, slots, xyz, desc, uv4 = jax.device_get(
-            (st.kf_pose, st.kf_frame_idx, st.kf_n, st.kf_slots, st.kf_xyz,
-             st.kf_desc, st.kf_uv4)
+            fused.gather_kf_rows(
+                st.kf_pose, st.kf_frame_idx, st.kf_n, st.kf_slots, st.kf_xyz,
+                st.kf_desc, st.kf_uv4, jnp.asarray(rows),
+            )
         )
         for k in range(start, kf_total):
-            r = k % KR
+            r = k - start
             n = int(ns[r])
             fidx = int(fidxs[r])
             C = np.eye(4, dtype=np.float32)
