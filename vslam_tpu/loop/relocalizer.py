@@ -75,15 +75,19 @@ def _query_database(q_desc, db_desc, db_map_id, max_map_id, max_distance,
     return best, ok, best_d
 
 
-@partial(jax.jit, donate_argnums=(2, 3))
+@partial(jax.jit, donate_argnums=(2, 3), static_argnums=(9,))
 def _query_and_insert(q_desc, fresh, db_desc, db_map_id, offset, map_id,
-                      max_map_id, max_distance, min_margin):
+                      max_map_id, max_distance, min_margin, prefix):
     """Fused per-keyframe program: query the CURRENT database, then append
     the query's fresh rows (mask-compacted at `offset`).  One upload + one
     dispatch per keyframe; rows inserted here carry map_id > max_map_id so
-    the ordering inside the program cannot affect the query result."""
+    the ordering inside the program cannot affect the query result.
+    Only the active power-of-two `prefix` of the database is matched."""
     best, ok, best_d = _query_database(
-        q_desc, db_desc, db_map_id, max_map_id, max_distance, min_margin
+        q_desc,
+        jax.lax.dynamic_slice_in_dim(db_desc, 0, prefix, 0),
+        jax.lax.dynamic_slice_in_dim(db_map_id, 0, prefix, 0),
+        max_map_id, max_distance, min_margin,
     )
     cap = db_desc.shape[0]
     rank = jnp.cumsum(fresh.astype(jnp.int32)) - 1
@@ -97,6 +101,54 @@ def _query_and_insert(q_desc, fresh, db_desc, db_map_id, offset, map_id,
     )
     db_map_id = db_map_id.at[tgt].add(jnp.where(put, map_id - db_map_id[tgt], 0))
     return best, ok, best_d, db_desc, db_map_id
+
+
+@partial(jax.jit, donate_argnums=(3, 4), static_argnums=(8,))
+def _query_and_insert_many(q_desc, dest, row_map_id, db_desc, db_map_id,
+                           max_map_id, max_distance, min_margin, prefix):
+    """Batched fused program: S keyframe queries against the CURRENT
+    database in one Hamming matmul, then all their fresh rows appended.
+
+    One dispatch per drain instead of one per keyframe — over a tunneled
+    device link each extra dispatch+upload costs milliseconds, and a
+    16-frame drain typically carries several keyframes.  Exact w.r.t. the
+    sequential path as long as S <= interspace (within-batch maps are
+    ineligible for each other by the interspace gate anyway; the query
+    reads db state from BEFORE the in-program insert).
+
+    q_desc: (S, CAP, 8) query descriptors; dest: (S*CAP,) int32 database
+    destination row per flattened query row (-1 = not fresh, don't
+    insert); row_map_id: (S*CAP,) first-insertion map id to write;
+    max_map_id: (S,) per-query interspace bound (-1 = padded query).
+    """
+    S, CAP, _ = q_desc.shape
+    qs = q_desc.reshape(S * CAP, 8)
+    # Only the ACTIVE power-of-two prefix of the database participates in
+    # the match: the distance matrix + its two argmin passes are O(rows),
+    # and matching against the full preallocated capacity (131k rows) when
+    # a few thousand are live wastes 10-100x HBM traffic and MXU work.
+    db_active = jax.lax.dynamic_slice_in_dim(db_desc, 0, prefix, 0)
+    mid_active = jax.lax.dynamic_slice_in_dim(db_map_id, 0, prefix, 0)
+    dist = hamming.hamming_matrix_mxu(qs, db_active)
+    bound = jnp.repeat(max_map_id, CAP)[:, None]
+    eligible = (mid_active[None, :] >= 0) & (mid_active[None, :] <= bound)
+    dist = jnp.where(eligible, dist, hamming.BIG)
+    best = jnp.argmin(dist, axis=1).astype(jnp.int32)
+    best_d = jnp.take_along_axis(dist, best[:, None], axis=1)[:, 0]
+    cols = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
+    second_d = jnp.min(
+        jnp.where(cols == best[:, None], hamming.BIG, dist), axis=1
+    )
+    ok = (best_d <= max_distance) & (second_d - best_d >= min_margin)
+    put = dest >= 0
+    tgt = jnp.where(put, dest, 0)
+    db_desc = db_desc.at[tgt].add(
+        jnp.where(put[:, None], qs - db_desc[tgt], jnp.uint32(0))
+    )
+    db_map_id = db_map_id.at[tgt].add(
+        jnp.where(put, row_map_id - db_map_id[tgt], 0)
+    )
+    return best.reshape(S, CAP), ok.reshape(S, CAP), db_desc, db_map_id
 
 
 @partial(jax.jit, donate_argnums=(0, 1))
@@ -128,6 +180,20 @@ class QueryHandle:
     ok_dev: jnp.ndarray  # (QUERY_CAP,) bool
 
 
+@dataclass
+class ICPJob:
+    """An in-flight closure ICP verification: the candidate survived the
+    vote gate and its aligner has been dispatched; gate the fetched result
+    with Relocalizer.finish_icp."""
+
+    query: LocalMap
+    reference: LocalMap
+    q_rows: np.ndarray
+    r_rows: np.ndarray
+    n: int
+    res_dev: object  # gn.GNResult pytree (device)
+
+
 class Relocalizer:
     QUERY_CAP = 1024  # fixed query/insert chunk (>= local_map max landmarks)
 
@@ -155,6 +221,12 @@ class Relocalizer:
         self._map_slot_row: dict[int, dict[int, int]] = {}
 
     # ------------------------------------------------------------------
+    def _active_prefix(self) -> int:
+        """Power-of-two bucket covering the live database rows (>= 1024 so
+        the query programs compile O(log rows) times, not per keyframe)."""
+        n = max(self.n_rows, 1)
+        return min(1 << max((n - 1).bit_length(), 10), self.capacity)
+
     def _grow(self):
         """Double the device database (power-of-two growth: the query and
         insert programs recompile only O(log maps) times over a run —
@@ -222,6 +294,7 @@ class Relocalizer:
         """
         p = self.params
         max_map_id = lm.map_id - p.preliminary_minimum_interspace_queries
+        prefix = self._active_prefix()
         q_desc, fresh, nq, offset = self._stage_chunk(lm)
         q_dev = jnp.asarray(q_desc)
         fresh_dev = jnp.asarray(fresh)
@@ -248,24 +321,89 @@ class Relocalizer:
                 jnp.int32(max_map_id),
                 jnp.int32(p.maximum_descriptor_distance),
                 jnp.int32(p.minimum_second_best_margin),
+                prefix,
             )
         if max_map_id < 0 or nq == 0:
             return None
         return QueryHandle(query=lm, nq=nq, idx_dev=idx, ok_dev=ok)
 
+    def submit_batch(self, lms: list[LocalMap]) -> list[QueryHandle | None]:
+        """Dispatch query+insert for several new local maps as ONE device
+        program (see _query_and_insert_many).  Falls back to per-map
+        submit() on the sharded-search path.  Batches larger than the
+        interspace gate are split so within-batch maps stay mutually
+        ineligible (sequential-path equivalence)."""
+        p = self.params
+        interspace = max(int(p.preliminary_minimum_interspace_queries), 1)
+        if self.mesh is not None or len(lms) == 1:
+            return [self.submit(lm) for lm in lms]
+        if len(lms) > interspace:
+            out = []
+            for i in range(0, len(lms), interspace):
+                out.extend(self.submit_batch(lms[i : i + interspace]))
+            return out
+        S = len(lms)
+        CAP = self.QUERY_CAP
+        prefix = self._active_prefix()  # pre-insert rows (queries see these)
+        staged = [self._stage_chunk(lm) for lm in lms]
+        SB = 1 << max(S - 1, 0).bit_length()  # pad S to a compile bucket
+        q = np.zeros((SB, CAP, 8), np.uint32)
+        dest = np.full(SB * CAP, -1, np.int32)
+        row_mid = np.zeros(SB * CAP, np.int32)
+        maxm = np.full(SB, -1, np.int32)
+        for i, (lm, (q_desc, fresh, nq, offset)) in enumerate(zip(lms, staged)):
+            q[i] = q_desc
+            sel = np.flatnonzero(fresh)
+            dest[i * CAP + sel] = offset + np.arange(len(sel))
+            row_mid[i * CAP + sel] = lm.map_id
+            maxm[i] = lm.map_id - p.preliminary_minimum_interspace_queries
+        best, ok, self.db_desc, self.db_map_id = _query_and_insert_many(
+            jnp.asarray(q), jnp.asarray(dest), jnp.asarray(row_mid),
+            self.db_desc, self.db_map_id, jnp.asarray(maxm),
+            jnp.int32(p.maximum_descriptor_distance),
+            jnp.int32(p.minimum_second_best_margin),
+            prefix,
+        )
+        handles: list[QueryHandle | None] = []
+        for i, (lm, (q_desc, fresh, nq, offset)) in enumerate(zip(lms, staged)):
+            if maxm[i] < 0 or nq == 0:
+                handles.append(None)
+            else:
+                handles.append(
+                    QueryHandle(query=lm, nq=nq, idx_dev=best[i], ok_dev=ok[i])
+                )
+        return handles
+
     def resolve_all(self, handles) -> list[Closure | None]:
         """Resolve a batch of in-flight queries with ONE device->host
         transfer (each individual sync costs ~30 ms over a tunneled link)."""
+        from vslam_tpu.utils import log
+
         live = [h for h in handles if h is not None]
         if live:
-            fetched = jax.device_get([(h.idx_dev, h.ok_dev) for h in live])
+            with log.measure("reloc_get"):
+                fetched = jax.device_get([(h.idx_dev, h.ok_dev) for h in live])
             for h, (idx, ok) in zip(live, fetched):
                 h.idx_dev, h.ok_dev = idx, ok
-        return [self.resolve(h) for h in handles]
+        with log.measure("reloc_vote_icp"):
+            return [self.resolve(h) for h in handles]
 
     def resolve(self, handle: QueryHandle | None) -> Closure | None:
         """Read an in-flight query's result; vote per reference map; verify
-        the winning candidate with robust point-to-point ICP."""
+        the winning candidate with robust point-to-point ICP (synchronous
+        composition of vote_and_dispatch_icp + finish_icp)."""
+        job = self.vote_and_dispatch_icp(handle)
+        if job is None:
+            return None
+        return self.finish_icp(job, jax.device_get(job.res_dev))
+
+    def vote_and_dispatch_icp(self, handle: QueryHandle | None):
+        """Pipelined resolve, phase 1: vote per reference map on the
+        (already fetched) query result, build correspondences for the
+        winning candidate and DISPATCH its ICP verification — no device
+        sync.  Returns an ICPJob to pass to finish_icp() once its result
+        array has been fetched (the engine batches those fetches with the
+        next drain), or None if no candidate cleared the vote gate."""
         if handle is None:
             return None
         p = self.params
@@ -361,8 +499,19 @@ class Relocalizer:
             res = anderson.fast_icp_align(data, mask, T0, icp_config)
         else:
             res = aligners.icp_align(data, mask, T0, icp_config)
+        return ICPJob(
+            query=lm, reference=ref, q_rows=q_rows, r_rows=r_rows,
+            n=min(n, cap), res_dev=res,
+        )
+
+    def finish_icp(self, job, res) -> Closure | None:
+        """Pipelined resolve, phase 2: gate a fetched ICP result and emit
+        the Closure (geometric-verification acceptance,
+        xyz_aligner.cpp:106-177)."""
+        p = self.params
+        lm, ref = job.query, job.reference
         n_inl = int(res.num_inliers)
-        inlier_ratio = n_inl / max(min(n, cap), 1)
+        inlier_ratio = n_inl / max(job.n, 1)
         if (
             not bool(res.converged)
             or n_inl < p.icp_minimum_number_of_inliers
@@ -371,21 +520,21 @@ class Relocalizer:
             from vslam_tpu.utils import log
 
             log.debug(
-                f"closure candidate {best_map}<-{lm.map_id}: ICP rejected "
+                f"closure candidate {ref.map_id}<-{lm.map_id}: ICP rejected "
                 f"(converged={bool(res.converged)}, inliers={n_inl}/"
-                f"{min(n, cap)}, chi2={float(res.chi2):.3f})"
+                f"{job.n}, chi2={float(res.chi2):.3f})"
             )
             return None
 
-        q_slots = np.asarray(lm.landmark_slots)[q_rows]
-        r_slots = np.asarray(ref.landmark_slots)[r_rows]
+        q_slots = np.asarray(lm.landmark_slots)[job.q_rows]
+        r_slots = np.asarray(ref.landmark_slots)[job.r_rows]
         keep = q_slots != r_slots  # identical slots merge to a no-op
         corr = np.stack([q_slots[keep], r_slots[keep]], axis=1)
         return Closure(
             query_id=lm.map_id,
-            reference_id=best_map,
+            reference_id=ref.map_id,
             T_ref_query=np.asarray(res.x),
-            n_correspondences=n,
+            n_correspondences=job.n,
             inlier_ratio=inlier_ratio,
             correspondences=corr.astype(np.int32),
         )

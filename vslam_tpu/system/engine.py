@@ -23,6 +23,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -92,6 +93,11 @@ class SlamEngine:
         self.kf_odom_weight: list[float] = []  # breakTrack-aware edge weights
         self.closure_edges: list[tuple[int, int, np.ndarray]] = []
         self._breaks_consumed = 0
+        # Deferred closure pipeline (fused tracker): queries and ICP
+        # verifications dispatched at drain N are fetched at drain N+1 in
+        # one batched device_get — no per-stage tunnel round trips.
+        self._inflight_queries: list = []
+        self._inflight_icp: list = []
         self._slot_remap: dict[int, int] = {}  # absorbed -> representative
         self._last_ba_frame = 0
         self.n_optimizations = 0
@@ -138,6 +144,10 @@ class SlamEngine:
         if hasattr(self.tracker, "flush"):
             self.tracker.flush()
             self._consume_keyframe_events()
+            # Drain the deferred closure pipeline to empty (query ->
+            # ICP -> closure needs two resolve passes).
+            while self._inflight_queries or self._inflight_icp:
+                self._resolve_inflight()
 
     def _consume_keyframe_events(self):
         """Pipelined keyframe path: register every harvested snapshot and
@@ -148,21 +158,53 @@ class SlamEngine:
         (rewrite every keyframe pose / the landmark table / the stored
         trajectory), so registering all snapshots first is exact."""
         snaps = self.tracker.pop_keyframes()
-        if not snaps:
+        # Register new keyframes FIRST: corrections from closures resolved
+        # below then rewrite their poses along with everything else.
+        local_maps = [self._register_keyframe(snap) for snap in snaps]
+        # Resolve last drain's dispatched queries/ICPs — their device work
+        # completed long ago, so this is one round trip.
+        self._resolve_inflight()
+        if not local_maps:
             return
-        handles = []
-        for snap in snaps:
-            local_map = self._register_keyframe(snap)
-            if self.open_loop:
+        if self.open_loop:
+            for local_map in local_maps:
                 self.relocalizer.add_local_map(local_map)
-            else:
-                with log.measure("relocalization"):
-                    handles.append(self.relocalizer.submit(local_map))
+            return
         with log.measure("relocalization"):
-            closures = self.relocalizer.resolve_all(handles)
+            # One fused query+insert program for the whole drain's
+            # keyframes; results are fetched at the NEXT drain
+            # (_resolve_inflight) so closure search never blocks tracking.
+            handles = self.relocalizer.submit_batch(local_maps)
+            self._inflight_queries.extend(h for h in handles if h is not None)
+
+    def _resolve_inflight(self):
+        """Fetch every in-flight closure query result and ICP result in
+        ONE device_get; finished ICPs become applied closures, voted
+        queries dispatch their ICP (fetched next time around)."""
+        queries, icps = self._inflight_queries, self._inflight_icp
+        if not queries and not icps:
+            return
+        self._inflight_queries, self._inflight_icp = [], []
+        closures = []
+        with log.measure("relocalization"):
+            fetched_q, fetched_icp = jax.device_get(
+                (
+                    [(h.idx_dev, h.ok_dev) for h in queries],
+                    [j.res_dev for j in icps],
+                )
+            )
+            # Older work first: ICP verdicts -> closures to apply.
+            for job, res in zip(icps, fetched_icp):
+                closure = self.relocalizer.finish_icp(job, res)
+                if closure is not None:
+                    closures.append(closure)
+            for h, (idx, ok) in zip(queries, fetched_q):
+                h.idx_dev, h.ok_dev = idx, ok
+                job = self.relocalizer.vote_and_dispatch_icp(h)
+                if job is not None:
+                    self._inflight_icp.append(job)
         for closure in closures:
-            if closure is not None:
-                self._apply_closure(closure)
+            self._apply_closure(closure)
 
     def _synchronous_keyframe_path(self):
         """Host-side keyframe trigger for the modular tracker (reference

@@ -34,6 +34,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from vslam_tpu.mapping import frame as frame_mod
 from vslam_tpu.mapping import landmarks as lm_mod
@@ -187,6 +188,27 @@ def gather_kf_rows(kf_pose, kf_frame_idx, kf_n, kf_slots, kf_xyz, kf_desc,
     the harvest then transfers only new snapshots instead of whole rings."""
     return (kf_pose[rows], kf_frame_idx[rows], kf_n[rows], kf_slots[rows],
             kf_xyz[rows], kf_desc[rows], kf_uv4[rows])
+
+
+# Speculative keyframe window shipped with every drain (see drain_bundle).
+KF_WINDOW = 16
+
+
+@jax.jit
+def drain_bundle(state, kf_start):
+    """The per-drain readback, as ONE transferable bundle: the result ring
+    PLUS a speculative window of keyframe-snapshot rows starting at ring
+    row `kf_start`.  Over a tunneled device link every device_get costs a
+    ~30 ms round trip regardless of payload, so the drain must not read
+    the ring first and only then fetch keyframe rows it learned about —
+    rows beyond the actual new-keyframe count are garbage the host
+    ignores (the rare >KF_WINDOW overflow falls back to gather_kf_rows)."""
+    KR = state.kf_pose.shape[0]
+    rows = (kf_start + jnp.arange(KF_WINDOW, dtype=jnp.int32)) % KR
+    return (state.ring,) + gather_kf_rows(
+        state.kf_pose, state.kf_frame_idx, state.kf_n, state.kf_slots,
+        state.kf_xyz, state.kf_desc, state.kf_uv4, rows,
+    )
 
 
 @jax.jit
@@ -579,6 +601,32 @@ def _register_depth_input(cam, params: FusedParams, img_r, depth_calib):
     return depth_mod.register_depth(cam, img_r, K_depth, T_rgb_depth)
 
 
+def _memo_key(params: FusedParams, depth_calib):
+    """Cache key for the step builders: params is a hashable NamedTuple;
+    the depth-calibration device arrays key by value."""
+    if depth_calib is None:
+        return (params, None)
+    K_d, T_d = depth_calib
+    return (params, np.asarray(K_d).tobytes(), np.asarray(T_d).tobytes())
+
+
+def _memoized(builder):
+    """Return the SAME jitted step for identical (params, calib): a second
+    tracker instance (bench warmup vs timed run, engine restarts) then
+    reuses the in-memory jit cache instead of re-tracing the full fused
+    program (~6 s on the closed-loop bench)."""
+    cache: dict = {}
+
+    def build(params: FusedParams, depth_calib=None):
+        key = _memo_key(params, depth_calib)
+        if key not in cache:
+            cache[key] = builder(params, depth_calib)
+        return cache[key]
+
+    return build
+
+
+@_memoized
 def make_frame_step(params: FusedParams, depth_calib=None):
     """Build the fully-fused per-frame step specialized to static params.
 
@@ -623,6 +671,7 @@ def make_frame_step(params: FusedParams, depth_calib=None):
     return step
 
 
+@_memoized
 def make_chunk_frontend(params: FusedParams, depth_calib=None):
     """Batched front-end over a whole frame chunk — the data-parallel
     half of the split pipeline (SURVEY §2.9 "batch/data parallelism of the
@@ -674,6 +723,7 @@ def make_chunk_frontend(params: FusedParams, depth_calib=None):
     return frontend
 
 
+@_memoized
 def make_track_step(params: FusedParams, depth_calib=None):
     """The sequential half of the split pipeline: consumes one precomputed
     FrameState (+ descriptor planes) from the chunk front-end and runs the

@@ -503,6 +503,11 @@ class FusedPoseTracker:
         self.controller = _ControllerView(self)
         self._dispatched = 0  # frames sent to the device
         self._harvested = 0  # frames read back from the ring
+        # Pipelined-drain bookkeeping: the in-flight drain-bundle output
+        # (device arrays of an already-enqueued gather program) and the
+        # frame count it covers.
+        self._bundle = None
+        self._bundle_count = 0
         # On CPU (tests) transfers are ~free: ship/harvest every frame so
         # the engine sees exact per-frame poses.  Over the TPU tunnel,
         # batch both directions (see compute()).
@@ -578,6 +583,8 @@ class FusedPoseTracker:
         self.state = self.state._replace(frame_idx=jnp.int32(v))
         self._dispatched = int(v)
         self._harvested = int(v)
+        self._bundle = None
+        self._bundle_count = int(v)
 
     @property
     def status(self) -> str:
@@ -642,10 +649,42 @@ class FusedPoseTracker:
         )
         if len(self._buf) >= self.chunk_size:
             self._dispatch_chunk()
-        if self._dispatched - self._harvested >= self.harvest_every:
-            self._drain()
+        self._maybe_drain_lagged()
         self.stats.add_time("frame_step", time.perf_counter() - t0)
         return self._last_pose
+
+    def _maybe_drain_lagged(self):
+        """Pipelined drain: FETCH the bundle dispatched after the previous
+        chunk (its gather program completed with that chunk, so this is a
+        DMA that overlaps the current chunk's execution), then DISPATCH
+        this chunk's bundle program for the next call to fetch.  Exact
+        synchronous drain on the chunk_size==1 (CPU test) path."""
+        if self.chunk_size == 1:
+            if self._dispatched - self._harvested >= self.harvest_every:
+                self._drain()
+            return
+        if (
+            self._bundle is not None
+            and self._bundle_count - self._harvested >= self.harvest_every
+        ):
+            self._drain(bundle=self._bundle, upto=self._bundle_count)
+            self._bundle = None
+        if self._dispatched > (
+            self._bundle_count if self._bundle is not None else self._harvested
+        ):
+            self._dispatch_bundle()
+
+    def _dispatch_bundle(self):
+        """Enqueue the drain-bundle gather program for everything
+        dispatched so far (runs on device right after the in-flight
+        steps; fetched on a later call)."""
+        from vslam_tpu.tracking import fused
+
+        KR = self.params.kf_ring_size
+        self._bundle = fused.drain_bundle(
+            self.state, jnp.int32(self._kf_harvested % KR)
+        )
+        self._bundle_count = self._dispatched
 
     def _dispatch_chunk(self):
         """Upload the buffered frames as one chunk; dispatch their steps."""
@@ -714,12 +753,18 @@ class FusedPoseTracker:
         return handles
 
     def compute_prestaged(self, staged) -> np.ndarray:
-        """Dispatch one prestaged chunk (see prestage())."""
+        """Dispatch one prestaged chunk (see prestage()).
+
+        The drain LAGS one chunk behind the dispatch: chunk N's results are
+        read back from the state snapshot taken after N's steps, AFTER
+        chunk N+1 has been dispatched — so the device executes N+1 while
+        the host waits on N's transfer and runs the keyframe/closure path.
+        Without the lag every drain idles the device for the full
+        readback + host work."""
         t0 = time.perf_counter()
         self._dispatch_chunk()  # preserve frame order w.r.t. buffered path
         self._dispatch_staged(staged)
-        if self._dispatched - self._harvested >= self.harvest_every:
-            self._drain()
+        self._maybe_drain_lagged()
         self.stats.add_time("frame_step", time.perf_counter() - t0)
         return self._last_pose
 
@@ -731,17 +776,31 @@ class FusedPoseTracker:
                 T = C @ T
         return T.astype(np.float32)
 
-    def _drain(self):
-        """One device->host transfer harvesting every un-read ring row."""
+    def _drain(self, bundle=None, upto: int | None = None):
+        """One device->host transfer harvesting the un-read ring rows AND
+        a speculative window of keyframe snapshots (fused.drain_bundle —
+        one tunnel round trip instead of two when keyframes happened).
+
+        bundle/upto: fetch a bundle whose gather program was dispatched
+        earlier (_dispatch_bundle), covering frames [_harvested, upto) —
+        the transfer then overlaps the execution of newer dispatched
+        steps.  With bundle=None a fresh bundle over everything dispatched
+        is made and fetched synchronously (flush / CPU path)."""
         from vslam_tpu.tracking import fused
 
-        if self._dispatched == self._harvested:
+        if bundle is None:
+            self._dispatch_bundle()
+            bundle, upto = self._bundle, self._bundle_count
+            self._bundle = None
+        if upto == self._harvested:
             return
-        assert self._dispatched - self._harvested <= self.params.ring_size
-        ring = np.asarray(jax.device_get(self.state.ring))
+        assert upto - self._harvested <= self.params.ring_size
+        bundle = jax.device_get(bundle)
+        ring = np.asarray(bundle[0])
+        self._kf_bundle = bundle[1:]
         s = self.stats
         kf_total = self._kf_harvested
-        for fi in range(self._harvested, self._dispatched):
+        for fi in range(self._harvested, upto):
             row = ring[fi % self.params.ring_size]
             T = self._corrected(row[:16].reshape(4, 4), fi)
             self.trajectory.append(T)
@@ -765,7 +824,8 @@ class FusedPoseTracker:
             kf_total = int(row[fused._R_KFCOUNT])
         if kf_total > self._kf_harvested:
             self._harvest_keyframes(kf_total)
-        self._harvested = self._dispatched
+        self._kf_bundle = None  # tied to this drain's kf_start
+        self._harvested = upto
         # Corrections older than everything still unharvested are spent.
         self._pending_corrections = [
             (c, C) for (c, C) in self._pending_corrections if c > self._harvested
@@ -788,16 +848,20 @@ class FusedPoseTracker:
             f"keyframe ring overflow: {n_new} keyframes since last "
             f"drain > ring size {KR}"
         )
-        bucket = 1 << max(int(np.ceil(np.log2(max(n_new, 1)))), 2)
-        rows = np.zeros(bucket, np.int32)
-        rows[:n_new] = [k % KR for k in range(start, kf_total)]
-        st = self.state
-        pose, fidxs, ns, slots, xyz, desc, uv4 = jax.device_get(
-            fused.gather_kf_rows(
-                st.kf_pose, st.kf_frame_idx, st.kf_n, st.kf_slots, st.kf_xyz,
-                st.kf_desc, st.kf_uv4, jnp.asarray(rows),
+        if n_new <= fused.KF_WINDOW and getattr(self, "_kf_bundle", None):
+            # Fast path: the snapshots came along with the ring readback.
+            pose, fidxs, ns, slots, xyz, desc, uv4 = self._kf_bundle
+        else:
+            bucket = 1 << max(int(np.ceil(np.log2(max(n_new, 1)))), 2)
+            rows = np.zeros(bucket, np.int32)
+            rows[:n_new] = [k % KR for k in range(start, kf_total)]
+            st = self.state
+            pose, fidxs, ns, slots, xyz, desc, uv4 = jax.device_get(
+                fused.gather_kf_rows(
+                    st.kf_pose, st.kf_frame_idx, st.kf_n, st.kf_slots,
+                    st.kf_xyz, st.kf_desc, st.kf_uv4, jnp.asarray(rows),
+                )
             )
-        )
         for k in range(start, kf_total):
             r = k - start
             n = int(ns[r])
