@@ -33,24 +33,27 @@ def make_engine(cam, cfg, capacity=65536):
 
 
 def warm_pose_graph_buckets():
-    """Pre-compile the pose-graph optimizer at its power-of-two bucket
-    sizes so first-closure compile time stays out of the timed loop."""
+    """Pre-compile the chain pose-graph optimizer at its power-of-two
+    bucket sizes so first-closure compile time stays out of the timed
+    loop."""
     import jax.numpy as jnp
 
     from vslam_tpu.backend import pose_graph as pg
 
     for P in (8, 16, 32, 64, 128):
-        E = P * 2
-        graph = pg.PoseGraph(
+        graph = pg.ChainPoseGraph(
             poses=jnp.tile(jnp.eye(4), (P, 1, 1)),
-            edge_i=jnp.zeros(E, jnp.int32),
-            edge_j=jnp.ones(E, jnp.int32),
-            edge_T_ij=jnp.tile(jnp.eye(4), (E, 1, 1)),
-            edge_weight=jnp.ones(E, jnp.float32),
-            edge_valid=jnp.ones(E, bool),
+            odo_T=jnp.tile(jnp.eye(4), (P, 1, 1)),
+            odo_weight=jnp.ones(P, jnp.float32),
+            odo_valid=jnp.arange(P) < P - 1,
+            clo_i=jnp.zeros(8, jnp.int32),
+            clo_j=jnp.ones(8, jnp.int32),
+            clo_T=jnp.tile(jnp.eye(4), (8, 1, 1)),
+            clo_weight=jnp.ones(8, jnp.float32),
+            clo_valid=jnp.ones(8, bool),
             pose_valid=jnp.ones(P, bool),
         )
-        pg.optimize_pose_graph(graph, iterations=10)[0].block_until_ready()
+        pg.optimize_pose_graph_chain(graph, iterations=10)[0].block_until_ready()
 
 
 def main():

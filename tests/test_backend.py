@@ -159,3 +159,100 @@ def test_ba_robust_to_outlier_observations():
     T_out, xyz_out, _ = ba_mod.bundle_adjust(CAM, prob, cfg)
     pose_err = np.linalg.norm(np.asarray(T_out)[:, :3, 3] - T_gt[:, :3, 3], axis=1)
     assert pose_err.max() < 0.05
+
+
+def _chain_graph_from(noisy, eT_odo, closure_T, n, P_pad=None, C_pad=8):
+    P = P_pad or n
+    poses = np.tile(np.eye(4, dtype=np.float32), (P, 1, 1))
+    poses[:n] = noisy
+    odo_T = np.tile(np.eye(4, dtype=np.float32), (P, 1, 1))
+    odo_T[: n - 1] = np.stack(eT_odo).astype(np.float32)
+    odo_w = np.zeros(P, np.float32)
+    odo_w[: n - 1] = 1.0
+    clo_T = np.tile(np.eye(4, dtype=np.float32), (C_pad, 1, 1))
+    clo_T[0] = closure_T.astype(np.float32)
+    clo_i = np.zeros(C_pad, np.int32)
+    clo_j = np.zeros(C_pad, np.int32)
+    clo_i[0] = n - 1
+    clo_w = np.zeros(C_pad, np.float32)
+    clo_w[0] = 10.0
+    return pg.ChainPoseGraph(
+        poses=jnp.asarray(poses),
+        odo_T=jnp.asarray(odo_T),
+        odo_weight=jnp.asarray(odo_w),
+        odo_valid=jnp.asarray(np.arange(P) < n - 1),
+        clo_i=jnp.asarray(clo_i),
+        clo_j=jnp.asarray(clo_j),
+        clo_T=jnp.asarray(clo_T),
+        clo_weight=jnp.asarray(clo_w),
+        clo_valid=jnp.asarray(np.arange(C_pad) < 1),
+        pose_valid=jnp.asarray(np.arange(P) < n),
+    )
+
+
+def test_chain_solver_matches_dense():
+    """The block-Thomas + Woodbury chain solver reaches the same optimum as
+    the dense Cholesky solver on an identical chain+closure problem."""
+    gt = make_loop_trajectory()
+    n = len(gt)
+    noisy = [gt[0]]
+    rng = np.random.default_rng(7)
+    eT_odo = []
+    for k in range(1, n):
+        T_rel = relative(gt[k - 1], gt[k])
+        xi = np.concatenate([rng.normal(0, 0.03, 3), rng.normal(0, 0.01, 3)])
+        T_rel = T_rel @ np.asarray(
+            lie.exp_se3(jnp.asarray(xi.astype(np.float32)))
+        )
+        eT_odo.append(T_rel)
+        noisy.append(noisy[-1] @ T_rel)
+    noisy = np.stack(noisy).astype(np.float32)
+    closure_T = relative(gt[n - 1], gt[0])
+
+    ei = list(range(n - 1)) + [n - 1]
+    ej = list(range(1, n)) + [0]
+    eT = eT_odo + [closure_T]
+    ew = [1.0] * (n - 1) + [10.0]
+    dense = pg.PoseGraph(
+        poses=jnp.asarray(noisy),
+        edge_i=jnp.asarray(ei, jnp.int32),
+        edge_j=jnp.asarray(ej, jnp.int32),
+        edge_T_ij=jnp.asarray(np.stack(eT).astype(np.float32)),
+        edge_weight=jnp.asarray(ew, jnp.float32),
+        edge_valid=jnp.ones(len(ei), bool),
+        pose_valid=jnp.ones(n, bool),
+    )
+    opt_d, _ = pg.optimize_pose_graph(dense, iterations=15)
+    chain = _chain_graph_from(noisy, eT_odo, closure_T, n)
+    opt_c, _ = pg.optimize_pose_graph_chain(chain, iterations=15)
+    opt_d = np.asarray(opt_d)
+    opt_c = np.asarray(opt_c)[:n]
+    assert np.abs(opt_c[:, :3, 3] - opt_d[:, :3, 3]).max() < 0.02
+    assert np.abs(opt_c[:, :3, :3] - opt_d[:, :3, :3]).max() < 0.01
+
+
+def test_chain_solver_padded_buckets():
+    """Pose/closure bucket padding (invalid rows) must not change the
+    solution — the engine pads to powers of two for compile caching."""
+    gt = make_loop_trajectory()
+    n = len(gt)
+    noisy = [gt[0]]
+    rng = np.random.default_rng(3)
+    eT_odo = []
+    for k in range(1, n):
+        T_rel = relative(gt[k - 1], gt[k])
+        xi = np.concatenate([rng.normal(0, 0.02, 3), rng.normal(0, 0.008, 3)])
+        T_rel = T_rel @ np.asarray(
+            lie.exp_se3(jnp.asarray(xi.astype(np.float32)))
+        )
+        eT_odo.append(T_rel)
+        noisy.append(noisy[-1] @ T_rel)
+    noisy = np.stack(noisy).astype(np.float32)
+    closure_T = relative(gt[n - 1], gt[0])
+    tight = _chain_graph_from(noisy, eT_odo, closure_T, n)
+    padded = _chain_graph_from(noisy, eT_odo, closure_T, n, P_pad=64, C_pad=16)
+    opt_t, _ = pg.optimize_pose_graph_chain(tight, iterations=10)
+    opt_p, _ = pg.optimize_pose_graph_chain(padded, iterations=10)
+    np.testing.assert_allclose(
+        np.asarray(opt_t)[:n], np.asarray(opt_p)[:n], atol=2e-3
+    )

@@ -68,3 +68,53 @@ def test_fused_interface_parity(runs):
     assert fused.prev_frame.uv4.shape[0] == 512
     fused.T_world_cam = np.eye(4, dtype=np.float32)
     np.testing.assert_array_equal(fused.T_world_cam, np.eye(4))
+
+
+def test_localizing_appearance_matching():
+    """In the Localizing state the first track attempt matches by
+    appearance (projection-free), so a viewpoint jump far beyond the
+    search window still re-acquires tracks (reference track_by_appearance,
+    pose_tracker_3d.cpp:87-92,227-239)."""
+    import jax.numpy as jnp
+
+    from vslam_tpu.mapping import frame as frame_mod
+    from vslam_tpu.tracking import fused as fused_mod
+
+    # A genuinely large viewpoint change: a 20-degree yaw displaces every
+    # projection by ~fx*tan(20°) ≈ 180 px — beyond radius_max even under
+    # an identity guess, so the windowed retry ladder cannot re-acquire,
+    # but the projection-free appearance match can (and the view overlap
+    # stays large).
+    poses = np.tile(np.eye(4, dtype=np.float32), (2, 1, 1))
+    a = np.deg2rad(20.0)
+    poses[1][:3, :3] = np.array(
+        [[np.cos(a), 0, np.sin(a)], [0, 1, 0], [-np.sin(a), 0, np.cos(a)]],
+        np.float32,
+    )
+    world = synthetic.make_world(CAM, n_points=2600, seed=7, poses=poses)
+    img0 = synthetic.render_frame(world, 0)[:2]
+    img1 = synthetic.render_frame(world, 1)[:2]
+
+    cfg = make_cfg()
+    tracker = FusedPoseTracker(CAM, cfg, landmark_capacity=16384)
+    params = tracker.params
+    step = fused_mod.make_frame_step(params)
+
+    def run_pair(localizing: bool):
+        state = fused_mod.init_state(CAM, params, 16384, 20.0)
+        chunk0 = jnp.asarray(np.stack([np.stack(img0)]), jnp.uint8)
+        chunk1 = jnp.asarray(np.stack([np.stack(img1)]), jnp.uint8)
+        odom = jnp.tile(jnp.eye(4), (1, 1, 1))
+        state, _ = step(CAM, state, chunk0, jnp.int32(0),
+                        jnp.asarray(False), odom, jnp.asarray(False))
+        state = state._replace(localizing=jnp.asarray(localizing))
+        state, stats = step(CAM, state, chunk1, jnp.int32(0),
+                            jnp.asarray(False), odom, jnp.asarray(False))
+        return int(stats.n_inliers), bool(stats.tracking_ok)
+
+    inl_loc, ok_loc = run_pair(True)
+    inl_win, ok_win = run_pair(False)
+    # The appearance match registers the jump (many inliers); the windowed
+    # ladder cannot.
+    assert ok_loc and inl_loc > 50, (inl_loc, ok_loc)
+    assert not ok_win and inl_loc > 5 * max(inl_win, 1), (inl_loc, inl_win)

@@ -139,3 +139,38 @@ def test_cli_run_and_eval(kitti_dir, tmp_path):
     metrics = json.loads(r2.stdout.strip().splitlines()[-1])
     assert metrics["n_poses"] == 6
     assert metrics["ate_rmse_m"] < 0.2
+
+
+def test_factor_graph_roundtrip(tmp_path):
+    """write_factor_graph emits poses + landmark vertices + measurement
+    edges that read back exactly (writePoseGraphToFile parity)."""
+    from vslam_tpu.io import g2o_io
+
+    rng = np.random.default_rng(4)
+    P = 4
+    poses = np.tile(np.eye(4, dtype=np.float64), (P, 1, 1))
+    for k in range(P):
+        poses[k][:3, 3] = rng.normal(0, 2, 3)
+    odo = [
+        (k - 1, k, np.linalg.inv(poses[k - 1]) @ poses[k], 1.0)
+        for k in range(1, P)
+    ]
+    lms = {7: np.array([1.0, 2.0, 3.0]), 42: np.array([-1.0, 0.5, 9.0])}
+    obs = [
+        (0, 7, np.array([0.5, 0.5, 4.0]), 0.25),
+        (1, 42, np.array([-0.5, 0.2, 8.0]), 0.125),
+    ]
+    path = str(tmp_path / "fg.g2o")
+    g2o_io.write_factor_graph(path, poses, odo, lms, obs,
+                              identifier_space=1000)
+    p2, e2, l2, o2 = g2o_io.read_factor_graph(path)
+    assert len(p2) == P
+    np.testing.assert_allclose(p2[:, :3, 3], poses[:, :3, 3], atol=1e-6)
+    assert set(l2) == {1007, 1042}
+    np.testing.assert_allclose(l2[1007], lms[7], atol=1e-6)
+    assert len(o2) == 2
+    kf, gid, p_kf, info = o2[0]
+    assert (kf, gid) == (0, 1007)
+    np.testing.assert_allclose(p_kf, obs[0][2], atol=1e-6)
+    assert abs(info - 0.25) < 1e-6
+    assert len(e2) == P - 1

@@ -132,6 +132,7 @@ def load_checkpoint(engine, path: str) -> None:
         tracker.state = tracker.state._replace(
             next_slot=jnp.int32(meta["allocator_next"]),
             has_prev=jnp.asarray(False),  # next frame re-seeds tracking
+            localizing=jnp.asarray(True),  # reference resumes in Localizing
             kf_count=jnp.int32(n_maps),
             T_last_kf=jnp.asarray(last_kf),
             frames_since_kf=jnp.int32(0),

@@ -22,7 +22,11 @@ class CommandLineParameters:
     option_use_gui: bool = False
     option_disable_relocalization: bool = False  # -open-loop
     option_show_top_viewer: bool = False
-    option_drop_framepoints: bool = False
+    # Drives the landmark-eviction sweep (map lifecycle).  Default True
+    # here (the reference defaults false and frees whole frames; our sweep
+    # only recycles stale low-quality unprotected slots, so it is safe to
+    # leave on and required for bounded memory on long runs).
+    option_drop_framepoints: bool = True
     option_equalize_histogram: bool = False
     option_use_odometry: bool = False
     option_recover_landmarks: bool = True
@@ -131,6 +135,9 @@ class RelocalizationParameters:
     icp_minimum_number_of_inliers: int = 25
     icp_minimum_inlier_ratio: float = 0.4
     icp_maximum_error_kernel: float = 1.0
+    # TPU-native addition: max correspondence pairs fed to closure ICP
+    # (fixed so the aligner compiles once; excess pairs are dropped).
+    icp_correspondence_cap: int = 512
 
 
 @dataclass
@@ -145,7 +152,12 @@ class GraphOptimizationParameters:
     free_translation_for_poses: bool = True
     base_information_frame_factor_for_translation: float = 1e3
     enable_robust_kernel_for_poses: bool = True
-    enable_robust_kernel_for_landmarks: bool = False
+    # Default True here (reference default false): BA measurement rows
+    # come from automated matching, and un-reweighted outliers drag the
+    # Schur solve; disable for strict reference behavior.
+    enable_robust_kernel_for_landmarks: bool = True
+    # Landmark vertex id offset in g2o exports (reference parameters.h:362).
+    identifier_space: int = 1_000_000_000
 
 
 @dataclass
@@ -160,7 +172,7 @@ class ParallelismParameters:
     SURVEY.md §2.9)."""
 
     mesh_shape: tuple = (1,)
-    mesh_axis_names: tuple = ("data",)
+    mesh_axis_names: tuple = ("lm",)
     shard_landmarks: bool = True
     shard_descriptor_db: bool = True
 

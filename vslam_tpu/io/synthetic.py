@@ -46,12 +46,15 @@ def corridor_trajectory(n_frames: int, step: float = 0.5, turn_rate: float = 0.0
     return np.stack(poses)
 
 
-def circle_trajectory(n_frames: int, radius: float = 8.0):
+def circle_trajectory(n_frames: int, radius: float = 8.0, laps: float = 1.0):
     """Closed loop: camera moves on a circle facing the tangent — the last
-    frames re-observe the first frames' scenery (loop-closure fixture)."""
+    frames re-observe the first frames' scenery (loop-closure fixture).
+    laps > 1 produces repeated revisits of the same scenery (the
+    KITTI-00-scale long-run fixture: closures keep firing lap after
+    lap)."""
     poses = []
     for k in range(n_frames):
-        ang = 2 * np.pi * k / n_frames
+        ang = 2 * np.pi * laps * k / n_frames
         c, s = np.cos(ang), np.sin(ang)
         T = np.eye(4, dtype=np.float32)
         # yaw about +y (camera +z forward, +x right)
@@ -138,13 +141,19 @@ def render_frame(world: SyntheticWorld, frame_idx: int):
         v = fy * p_cam[:, 1] / np.where(vis, z, 1.0) + cy
         r = world.patch // 2
         H, W = img.shape
-        order = np.argsort(-z)  # far first; near overwrites
-        for i in order:
-            if not vis[i]:
-                continue
-            ui, vi = int(round(u[i])), int(round(v[i]))
-            if ui < r or ui >= W - r or vi < r or vi >= H - r:
-                continue
+        # Pre-filter to on-image points so the splat loop is O(visible),
+        # not O(world points) — at 100k-point worlds (the KITTI-00-scale
+        # run) the all-points loop costs seconds per frame.
+        ui_all = np.round(u).astype(np.int64)
+        vi_all = np.round(v).astype(np.int64)
+        cand = np.flatnonzero(
+            vis
+            & (ui_all >= r) & (ui_all < W - r)
+            & (vi_all >= r) & (vi_all < H - r)
+        )
+        cand = cand[np.argsort(-z[cand])]  # far first; near overwrites
+        for i in cand:
+            ui, vi = ui_all[i], vi_all[i]
             if z[i] >= zbuf[vi, ui]:
                 continue
             img[vi - r : vi + r + 1, ui - r : ui + r + 1] = world.textures[i]

@@ -62,14 +62,15 @@ def _query_database(q_desc, db_desc, db_map_id, max_map_id, max_distance,
     equally well and are rejected by the margin."""
     dist = hamming.hamming_matrix_mxu(q_desc, db_desc)
     eligible = (db_map_id >= 0) & (db_map_id <= max_map_id)
-    dist = jnp.where(eligible[None, :], dist, hamming.BIG)
-    # Two fused argmin passes instead of top_k: XLA lowers top_k to a full
-    # sort of each 100k+-row slice — two min-reductions are linear.
-    best = jnp.argmin(dist, axis=1).astype(jnp.int32)
-    best_d = jnp.take_along_axis(dist, best[:, None], axis=1)[:, 0]
+    # Two fused min-encode passes instead of top_k (XLA lowers top_k to a
+    # full sort of each 100k+-row slice) or variadic argmin (pathologically
+    # slow on TPU, see ops/hamming.min_encode).
+    best_f, best = hamming.min_encode(dist, eligible[None, :], axis=1)
+    best_d = best_f.astype(jnp.int32)
     cols = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
+    dist_m = jnp.where(eligible[None, :], dist, hamming.BIG)
     second_d = jnp.min(
-        jnp.where(cols == best[:, None], hamming.BIG, dist), axis=1
+        jnp.where(cols == best[:, None], hamming.BIG, dist_m), axis=1
     )
     ok = (best_d <= max_distance) & (second_d - best_d >= min_margin)
     return best, ok, best_d
@@ -132,12 +133,12 @@ def _query_and_insert_many(q_desc, dest, row_map_id, db_desc, db_map_id,
     dist = hamming.hamming_matrix_mxu(qs, db_active)
     bound = jnp.repeat(max_map_id, CAP)[:, None]
     eligible = (mid_active[None, :] >= 0) & (mid_active[None, :] <= bound)
-    dist = jnp.where(eligible, dist, hamming.BIG)
-    best = jnp.argmin(dist, axis=1).astype(jnp.int32)
-    best_d = jnp.take_along_axis(dist, best[:, None], axis=1)[:, 0]
+    best_f, best = hamming.min_encode(dist, eligible, axis=1)
+    best_d = best_f.astype(jnp.int32)
     cols = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
+    dist_m = jnp.where(eligible, dist, hamming.BIG)
     second_d = jnp.min(
-        jnp.where(cols == best[:, None], hamming.BIG, dist), axis=1
+        jnp.where(cols == best[:, None], hamming.BIG, dist_m), axis=1
     )
     ok = (best_d <= max_distance) & (second_d - best_d >= min_margin)
     put = dest >= 0
@@ -305,7 +306,8 @@ class Relocalizer:
 
             valid_rows = _eligibility(self.db_map_id, jnp.int32(max_map_id))
             idx, best_d, second_d = sharded_search.search_sharded_top2(
-                q_dev, self.db_desc, valid_rows, self.mesh
+                q_dev, self.db_desc, valid_rows, self.mesh,
+                axis_name=self.mesh.axis_names[0],
             )
             ok = (best_d <= p.maximum_descriptor_distance) & (
                 second_d - best_d >= p.minimum_second_best_margin
@@ -417,17 +419,24 @@ class Relocalizer:
 
         # Vote: each matched row votes for EVERY eligible map containing
         # its landmark (merged-matchable semantics, relocalizer.cpp:86-123).
-        votes: dict[int, int] = {}
+        # Vectorized tally (bincount over the flattened membership lists) —
+        # the per-row dict loop was O(rows x memberships) Python at scale.
+        from itertools import chain
+
         q_rows_all = np.flatnonzero(ok)
         matched_slots = self.row_slot[idx[q_rows_all]]
-        for s in matched_slots:
-            for mid in self._slot_maps.get(int(s), ()):
-                if mid <= max_map_id:
-                    votes[mid] = votes.get(mid, 0) + 1
-        if not votes:
+        mids = np.fromiter(
+            chain.from_iterable(
+                self._slot_maps.get(int(s), ()) for s in matched_slots
+            ),
+            np.int64,
+        )
+        mids = mids[mids <= max_map_id]
+        if len(mids) == 0:
             return None
-        best_map = max(votes, key=votes.get)
-        n_votes = votes[best_map]
+        counts = np.bincount(mids)
+        best_map = int(np.argmax(counts))
+        n_votes = int(counts[best_map])
         ratio = n_votes / nq
         if (
             ratio < p.preliminary_minimum_matching_ratio
@@ -463,9 +472,11 @@ class Relocalizer:
         p_moving = lm.xyz_kf[q_rows]  # query keyframe frame
         p_fixed = ref.xyz_kf[r_rows]  # reference keyframe frame
 
-        # Geometric verification: robust point-to-point ICP.
+        # Geometric verification: robust point-to-point ICP.  The pair cap
+        # is configurable (icp_correspondence_cap); one fixed size keeps a
+        # single compiled aligner program.
         n = len(pairs)
-        cap = 256
+        cap = int(getattr(p, "icp_correspondence_cap", 512))
         pad = max(cap - n, 0)
         data = aligners.ICPData(
             p_moving=jnp.asarray(
@@ -563,7 +574,8 @@ class Relocalizer:
 
             valid_rows = _eligibility(self.db_map_id, jnp.int32(max_map_id))
             idx, best_d, second_d = sharded_search.search_sharded_top2(
-                jnp.asarray(q_desc), self.db_desc, valid_rows, self.mesh
+                jnp.asarray(q_desc), self.db_desc, valid_rows, self.mesh,
+                axis_name=self.mesh.axis_names[0],
             )
             ok = (best_d <= p.maximum_descriptor_distance) & (
                 second_d - best_d >= p.minimum_second_best_margin
@@ -582,15 +594,22 @@ class Relocalizer:
         )
 
     # ------------------------------------------------------------------
-    def apply_remap(self, remap: dict[int, int]) -> None:
+    def apply_remap(self, remap: dict[int, int], lut=None) -> None:
         """Follow landmark merges: database rows referencing an absorbed
         slot now reference its representative (reference LocalMap::replace
-        keeps local maps consistent after merging, local_map.cpp:109-127)."""
+        keeps local maps consistent after merging, local_map.cpp:109-127).
+        lut: optional precomputed slot lookup (arange with remapped
+        entries) — one vectorized pass instead of a per-pair scan."""
         if not remap or self.n_rows == 0:
             return
         rows = self.row_slot[: self.n_rows]
+        if lut is not None and len(lut) > int(rows.max(initial=0)):
+            valid = rows >= 0
+            rows[valid] = lut[rows[valid]]
+        else:
+            for src, dst in remap.items():
+                rows[rows == src] = dst
         for src, dst in remap.items():
-            rows[rows == src] = dst
             if src in self._slot_in_db:
                 self._slot_in_db.discard(src)
                 self._slot_in_db.add(dst)

@@ -75,10 +75,25 @@ def empty_frame(capacity: int) -> FrameState:
     )
 
 
+def stable_partition_perm(valid: jnp.ndarray) -> jnp.ndarray:
+    """Permutation putting valid rows first (stable), via cumsum + scatter.
+
+    Equivalent to argsort(~valid, stable=True) but O(K) scatter instead of
+    a sort — sorts over the fused state are serialized loops on TPU
+    (~1 ms for 1024 rows, measured on v5e)."""
+    k = valid.shape[0]
+    rank_v = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+    rank_i = jnp.cumsum((~valid).astype(jnp.int32)) - 1
+    dest = jnp.where(valid, rank_v, n_valid + rank_i)
+    return jnp.zeros(k, jnp.int32).at[dest].set(
+        jnp.arange(k, dtype=jnp.int32), unique_indices=True
+    )
+
+
 def _compact(order_key: jnp.ndarray, *arrays):
-    """Stable-sort arrays so rows with order_key False go first... inverted:
-    valid rows first.  order_key: (K,) bool valid."""
-    perm = jnp.argsort(~order_key, stable=True)
+    """Reorder arrays so rows with order_key True come first (stable)."""
+    perm = stable_partition_perm(order_key)
     return tuple(a[perm] for a in arrays)
 
 

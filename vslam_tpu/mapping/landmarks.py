@@ -107,7 +107,9 @@ def spawn_landmarks(
     )
 
 
-@partial(jax.jit, static_argnames=("mode",))
+@partial(jax.jit, static_argnames=("mode", "min_forced_updates",
+                                   "min_meas_for_opt",
+                                   "max_t_err_depth_ratio"))
 def update_observed(
     cam: cam_ops.CameraParams,
     table: LandmarkTable,
@@ -118,11 +120,15 @@ def update_observed(
     point_valid: jnp.ndarray,  # (K,)
     frame_idx: jnp.ndarray,
     mode: str = "stereo",
+    min_forced_updates: int = 0,
+    min_meas_for_opt: int = 0,
+    max_t_err_depth_ratio: float = 0.0,
 ) -> LandmarkTable:
     """Batched GN refinement of all landmarks observed this frame.
 
     Scatters frame measurements into table-aligned arrays, runs the vmapped
-    information-form update, refreshes descriptors / counters.
+    information-form update, refreshes descriptors / counters.  The
+    LandmarkParameters knobs pass through to aligners.update_landmarks.
     """
     obs = point_valid & (slots >= 0)
     tgt = jnp.where(obs, slots, 0)
@@ -136,10 +142,15 @@ def update_observed(
     # write back the unmodified gathered values).
     xyz_g = table.xyz_w[tgt]
     H_g = table.H_acc[tgt]
+    n_up_g = table.n_updates[tgt]
 
     if mode == "stereo":
         xyz_n, H_n, chi2, inlier = aligners.update_landmarks(
-            cam, xyz_g, H_g, T_world_cam, uv4, obs
+            cam, xyz_g, H_g, T_world_cam, uv4, obs,
+            n_updates=n_up_g,
+            min_forced_updates=min_forced_updates,
+            min_meas_for_opt=min_meas_for_opt,
+            max_t_err_depth_ratio=max_t_err_depth_ratio,
         )
     else:
         xyz_n, H_n, chi2, inlier = aligners.update_landmarks_uvd(

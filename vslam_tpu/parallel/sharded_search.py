@@ -41,9 +41,9 @@ def search_sharded(
             dist = hamming.hamming_matrix_mxu(q, db_shard)
         else:
             dist = hamming.hamming_matrix(q, db_shard)
-        dist = jnp.where(valid_shard[None, :], dist, hamming.BIG)
-        local_idx = jnp.argmin(dist, axis=1).astype(jnp.int32)
-        local_best = jnp.take_along_axis(dist, local_idx[:, None], axis=1)[:, 0]
+        best_f, local_idx = hamming.min_encode(dist, valid_shard[None, :],
+                                               axis=1)
+        local_best = best_f.astype(jnp.int32)
         shard_size = db_shard.shape[0]
         my_shard = jax.lax.axis_index(axis_name)
         global_idx = local_idx + my_shard * shard_size
@@ -86,13 +86,18 @@ def search_sharded_top2(
     )
     def run(q, db_shard, valid_shard):
         dist = hamming.hamming_matrix_mxu(q, db_shard)
-        dist = jnp.where(valid_shard[None, :], dist, hamming.BIG)
-        top2_neg, top2_idx = jax.lax.top_k(-dist, 2)
-        d1 = jnp.minimum(-top2_neg[:, 0], 511)
-        d2 = jnp.minimum(-top2_neg[:, 1], 511)
+        # Local (best, runner-up) via two min-encode passes — top_k lowers
+        # to a full per-row sort and variadic argmin is pathologically slow
+        # on TPU (see ops/hamming.min_encode).
+        d1_f, l1 = hamming.min_encode(dist, valid_shard[None, :], axis=1)
+        cols = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
+        mask2 = valid_shard[None, :] & (cols != l1[:, None])
+        d2_f, _ = hamming.min_encode(dist, mask2, axis=1)
+        d1 = jnp.minimum(d1_f.astype(jnp.int32), 511)
+        d2 = jnp.minimum(d2_f.astype(jnp.int32), 511)
         shard_size = db_shard.shape[0]
         my_shard = jax.lax.axis_index(axis_name)
-        g1 = top2_idx[:, 0].astype(jnp.int32) + my_shard * shard_size
+        g1 = l1 + my_shard * shard_size
 
         # Shift 22: 511 (masked sentinel) << 22 | idx fits int32 exactly;
         # shift 23 would overflow and corrupt the pmin (cf. search_sharded).

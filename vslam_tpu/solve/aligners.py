@@ -72,14 +72,14 @@ def make_stereo_uv_residual(cam: cam_ops.CameraParams):
     def residual_fn(T, datum):
         return _local_residual(r_of_T_factory(datum), T)
 
-    def info_fn(T, datum, r):
+    def diag_fn(T, datum, r):
         # Scalar weight x inverse-depth emphasis for near points
         # (reference stereouv_aligner.cpp:57-61), as a diagonal Omega.
         z = lie.transform_points(T, datum.p_prev)[2]
         depth_w = jnp.clip(10.0 / jnp.maximum(z, 0.1), 0.2, 2.0)
-        return (datum.weight * depth_w) * jnp.eye(4, dtype=r.dtype)
+        return jnp.full(4, datum.weight * depth_w, r.dtype)
 
-    return residual_fn, info_fn
+    return residual_fn, diag_fn
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -91,7 +91,7 @@ def stereo_uv_align(
     config: gn.GNConfig = gn.GNConfig(),
 ) -> gn.GNResult:
     """Estimate T_cur_prev (camera motion) from stereo reprojections."""
-    residual_fn, info_fn = make_stereo_uv_residual(cam)
+    residual_fn, diag_fn = make_stereo_uv_residual(cam)
     # Visibility gating: points projecting behind the camera under the
     # initial guess are excluded up front (reference skips them in
     # linearize).
@@ -104,7 +104,7 @@ def stereo_uv_align(
         mask,
         config,
         retract=gn.se3_retract,
-        info_fn=info_fn,
+        diag_fn=diag_fn,
     )
 
 
@@ -129,15 +129,16 @@ def make_uvd_residual(cam: cam_ops.CameraParams, depth_info_weight: float = 10.0
 
         return _local_residual(r_of_T, T)
 
-    def info_fn(T, datum, r):
+    def diag_fn(T, datum, r):
         # Depth channel carries extra information when reliable; zero when
         # not (reference uvd_aligner.cpp:55-61 zeroes translation rows for
         # unreliable-depth points — here the depth residual is gated).
         dw = jnp.where(datum.depth_reliable, depth_info_weight, 0.0)
-        diag = jnp.stack([datum.weight, datum.weight, datum.weight * dw])
-        return jnp.diag(diag).astype(r.dtype)
+        return jnp.stack(
+            [datum.weight, datum.weight, datum.weight * dw]
+        ).astype(r.dtype)
 
-    return residual_fn, info_fn
+    return residual_fn, diag_fn
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -148,11 +149,12 @@ def uvd_align(
     T0: jnp.ndarray,
     config: gn.GNConfig = gn.GNConfig(),
 ) -> gn.GNResult:
-    residual_fn, info_fn = make_uvd_residual(cam)
+    residual_fn, diag_fn = make_uvd_residual(cam)
     z0 = lie.transform_points(T0, data.p_prev)[:, 2]
     mask = mask & (z0 > 0.01)
     return gn.gauss_newton(
-        residual_fn, T0, data, mask, config, retract=gn.se3_retract, info_fn=info_fn
+        residual_fn, T0, data, mask, config, retract=gn.se3_retract,
+        diag_fn=diag_fn,
     )
 
 
@@ -175,10 +177,10 @@ def make_icp_residual():
 
         return _local_residual(r_of_T, T)
 
-    def info_fn(T, datum, r):
-        return datum.weight * jnp.eye(3, dtype=r.dtype)
+    def diag_fn(T, datum, r):
+        return jnp.full(3, datum.weight, r.dtype)
 
-    return residual_fn, info_fn
+    return residual_fn, diag_fn
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -189,9 +191,10 @@ def icp_align(
     config: gn.GNConfig = gn.GNConfig(),
 ) -> gn.GNResult:
     """Estimate T_ref_query aligning moving onto fixed points."""
-    residual_fn, info_fn = make_icp_residual()
+    residual_fn, diag_fn = make_icp_residual()
     return gn.gauss_newton(
-        residual_fn, T0, data, mask, config, retract=gn.se3_retract, info_fn=info_fn
+        residual_fn, T0, data, mask, config, retract=gn.se3_retract,
+        diag_fn=diag_fn,
     )
 
 
@@ -200,7 +203,8 @@ def icp_align(
 # ---------------------------------------------------------------------------
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("min_forced_updates", "min_meas_for_opt",
+                                   "max_t_err_depth_ratio"))
 def update_landmarks(
     cam: cam_ops.CameraParams,
     xyz_world: jnp.ndarray,  # (M, 3) current landmark estimates
@@ -210,8 +214,12 @@ def update_landmarks(
     obs_mask: jnp.ndarray,  # (M,) landmarks observed this frame
     kernel_max_error_px2: float = 9.0 * 4,
     prior_damping: float = 1.0,
+    n_updates: jnp.ndarray | None = None,  # (M,) prior update counts
+    min_forced_updates: int = 0,
+    min_meas_for_opt: int = 0,
+    max_t_err_depth_ratio: float = 0.0,
 ):
-    """One information-form GN step per observed landmark, vmapped over M.
+    """One information-form GN step per observed landmark, batched over M.
 
     Redesign of Landmark::update (src/types/landmark.cpp:66-167): instead of
     re-iterating over a stored measurement vector per landmark (pointer
@@ -221,11 +229,22 @@ def update_landmarks(
     reprojection chi2 exceeds the kernel are downweighted, and steps for
     unobserved landmarks are zero.
 
+    LandmarkParameters wiring (reference parameters.h:97-126):
+      min_forced_updates — the first N observations are treated as inliers
+        at full weight (reference forced-update phase, landmark.cpp:75-84);
+      min_meas_for_opt — the position step is withheld (information still
+        accumulates) until the landmark has this many measurements
+        (landmark.cpp:86-90);
+      max_t_err_depth_ratio — a solved step larger than ratio*depth is an
+        outlier measurement and is rejected (landmark.cpp:120-133).
+
     Returns (xyz_new (M,3), H_new (M,3,3), chi2 (M,), inlier (M,)).
     """
     T_cam_world = lie.inverse(T_world_cam)
+    if n_updates is None:
+        n_updates = jnp.full(xyz_world.shape[0], 1 << 20, jnp.int32)
 
-    def per_landmark(xyz, H, meas):
+    def per_landmark(xyz, H, meas, n_up):
         def r_of_x(x):
             p_cam = lie.transform_points(T_cam_world, x)
             uv_l, uv_r, _ = cam_ops.project_stereo(cam, p_cam)
@@ -235,13 +254,26 @@ def update_landmarks(
         J = jax.jacfwd(r_of_x)(xyz)  # (4, 3)
         chi2 = jnp.sum(r * r)
         w = jnp.where(chi2 > kernel_max_error_px2, kernel_max_error_px2 / jnp.maximum(chi2, 1e-9), 1.0)
+        w = jnp.where(n_up < min_forced_updates, 1.0, w)
         Hm = w * (J.T @ J)
         bm = w * (J.T @ r)
         H_new = H + Hm
         dx = gn.solve_normal_equations(H_new, bm, prior_damping)
-        return xyz + dx, H_new, chi2, chi2 <= kernel_max_error_px2
+        depth = lie.transform_points(T_cam_world, xyz)[2]
+        step_ok = jnp.asarray(True)
+        if max_t_err_depth_ratio > 0.0:
+            step_ok = step_ok & (
+                jnp.linalg.norm(dx)
+                <= max_t_err_depth_ratio * jnp.maximum(depth, 0.1)
+            )
+        if min_meas_for_opt > 0:
+            step_ok = step_ok & (n_up + 1 >= min_meas_for_opt)
+        xyz_new = jnp.where(step_ok, xyz + dx, xyz)
+        return xyz_new, H_new, chi2, chi2 <= kernel_max_error_px2
 
-    xyz_n, H_n, chi2, inl = jax.vmap(per_landmark)(xyz_world, H_acc, meas_uv4)
+    xyz_n, H_n, chi2, inl = jax.vmap(per_landmark)(
+        xyz_world, H_acc, meas_uv4, n_updates
+    )
     m3 = obs_mask[:, None]
     xyz_out = jnp.where(m3, xyz_n, xyz_world)
     H_out = jnp.where(obs_mask[:, None, None], H_n, H_acc)

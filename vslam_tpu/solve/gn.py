@@ -57,14 +57,84 @@ def _robust_weights(chi2: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(chi2 > kernel, kernel / jnp.maximum(chi2, 1e-12), 1.0)
 
 
+def inv3(A: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form 3x3 inverse via the adjugate — pure elementwise ops.
+
+    XLA's Cholesky/LU HLOs lower to serialized loops on TPU (~0.4 ms per
+    6x6 solve measured on v5e); for the 3x3/6x6 systems of this codebase
+    closed forms are both exact and ~100x cheaper, and they vmap cleanly.
+    """
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    co_a = e * i - f * h
+    co_b = f * g - d * i
+    co_c = d * h - e * g
+    det = a * co_a + b * co_b + c * co_c
+    inv_det = 1.0 / det
+    adj = jnp.stack([
+        co_a, c * h - b * i, b * f - c * e,
+        co_b, a * i - c * g, c * d - a * f,
+        co_c, b * g - a * h, a * e - b * d,
+    ], axis=-1).reshape(A.shape)
+    return adj * inv_det[..., None, None]
+
+
+def inv6(M: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form SPD 6x6 inverse via 2x2-block Schur complement of 3x3
+    blocks (each inverted by the closed-form adjugate) — pure vectorized
+    ops, batchable over leading dims; same rationale as inv3."""
+    A = M[..., :3, :3]
+    B = M[..., :3, 3:]
+    C = M[..., 3:, 3:]
+    Ai = inv3(A)
+    AiB = jnp.einsum("...ij,...jk->...ik", Ai, B)
+    S = C - jnp.einsum("...ji,...jk->...ik", B, AiB)
+    Si = inv3(S)
+    AiB_Si = jnp.einsum("...ij,...jk->...ik", AiB, Si)
+    TL = Ai + jnp.einsum("...ij,...kj->...ik", AiB_Si, AiB)
+    TR = -AiB_Si
+    BL = jnp.swapaxes(TR, -1, -2)
+    return jnp.concatenate([
+        jnp.concatenate([TL, TR], axis=-1),
+        jnp.concatenate([BL, Si], axis=-1),
+    ], axis=-2)
+
+
+def solve_spd(H: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve H x = b for SPD H of static size 3 or 6 with closed forms.
+
+    6x6 goes through one step of block elimination (Schur complement of
+    the leading 3x3 block), each block handled by the closed-form 3x3
+    inverse.  Falls back to Cholesky for other sizes.
+    """
+    dim = H.shape[-1]
+    if dim == 3:
+        return jnp.einsum("...ij,...j->...i", inv3(H), b)
+    if dim == 6:
+        A = H[..., :3, :3]
+        B = H[..., :3, 3:]
+        C = H[..., 3:, 3:]
+        b1 = b[..., :3]
+        b2 = b[..., 3:]
+        Ai = inv3(A)
+        AiB = jnp.einsum("...ij,...jk->...ik", Ai, B)
+        S = C - jnp.einsum("...ji,...jk->...ik", B, AiB)
+        Si = inv3(S)
+        Aib1 = jnp.einsum("...ij,...j->...i", Ai, b1)
+        y = jnp.einsum("...ij,...j->...i",
+                       Si, b2 - jnp.einsum("...ji,...j->...i", B, Aib1))
+        x = Aib1 - jnp.einsum("...ij,...j->...i", AiB, y)
+        return jnp.concatenate([x, y], axis=-1)
+    L = jax.scipy.linalg.cho_factor(H, lower=True)
+    return jax.scipy.linalg.cho_solve(L, b)
+
+
 def solve_normal_equations(H: jnp.ndarray, b: jnp.ndarray, damping) -> jnp.ndarray:
-    """Damped solve of (H + damping*I) dx = -b via Cholesky (H is SPD+damped)."""
+    """Damped solve of (H + damping*I) dx = -b (H is SPD+damped)."""
     dim = H.shape[-1]
     Hd = H + damping * jnp.eye(dim, dtype=H.dtype)
-    # cho_factor is fine for the small (6x6 / 3x3) systems here, and is
-    # cheaper + more stable than the reference's fullPivLu.
-    L = jax.scipy.linalg.cho_factor(Hd, lower=True)
-    return -jax.scipy.linalg.cho_solve(L, b)
+    return -solve_spd(Hd, b)
 
 
 def gauss_newton(
@@ -74,7 +144,7 @@ def gauss_newton(
     mask: jnp.ndarray,
     config: GNConfig,
     retract: Callable | None = None,
-    info_fn: Callable | None = None,
+    diag_fn: Callable | None = None,
     state_dim: int | None = None,
 ):
     """Run robust GN to convergence, then inlier-only refinement rounds.
@@ -87,9 +157,11 @@ def gauss_newton(
       mask: (N,) bool of valid measurements.
       config: GNConfig.
       retract: (x, dx (D,)) -> x.  Defaults to x + dx.
-      info_fn: optional (x, datum, r) -> Omega (R, R) per-measurement
-        information matrix (e.g. inverse-depth weighting,
-        stereouv_aligner.cpp:57-61). Defaults to identity.
+      diag_fn: optional (x, datum, r) -> (R,) per-measurement DIAGONAL
+        information (e.g. inverse-depth weighting,
+        stereouv_aligner.cpp:57-61).  Defaults to ones.  All four aligner
+        instantiations have diagonal Omega, so the engine never
+        materializes (N, R, R) matrices.
       state_dim: D; inferred from a probe evaluation if None.
 
     Returns GNResult. Fully jittable; no data-dependent Python control flow.
@@ -101,19 +173,17 @@ def gauss_newton(
 
     def linearize(x, inlier_only_mask):
         r, J = batched_res(x, data)  # (N, R), (N, R, D)
-        if info_fn is not None:
-            omega = jax.vmap(info_fn, in_axes=(None, 0, 0))(x, data, r)
+        if diag_fn is not None:
+            omega = jax.vmap(diag_fn, in_axes=(None, 0, 0))(x, data, r)
         else:
-            omega = jnp.broadcast_to(
-                jnp.eye(r.shape[-1], dtype=r.dtype), r.shape + (r.shape[-1],)
-            )
-        chi2 = jnp.einsum("ni,nij,nj->n", r, omega, r)
+            omega = jnp.ones_like(r)
+        chi2 = jnp.sum(r * omega * r, axis=-1)
         w = _robust_weights(chi2, jnp.asarray(config.kernel_max_error, r.dtype))
         m = (mask & inlier_only_mask).astype(r.dtype)
         w_eff = w * m
-        omega_w = omega * w_eff[:, None, None]
-        H = jnp.einsum("nri,nrs,nsj->ij", J, omega_w, J)
-        b = jnp.einsum("nri,nrs,ns->i", J, omega_w, r)
+        ow = omega * w_eff[:, None]  # (N, R)
+        H = jnp.einsum("nri,nr,nrj->ij", J, ow, J)
+        b = jnp.einsum("nri,nr->i", J, ow * r)
         inliers = (chi2 <= config.kernel_max_error) & mask & inlier_only_mask
         total_chi2 = jnp.sum(chi2 * w_eff)
         return H, b, total_chi2, inliers, chi2
@@ -156,17 +226,38 @@ def gauss_newton(
             jnp.float32(jnp.inf))
     x, _, chi2, iters, inliers, _ = jax.lax.while_loop(cond, body, init)
 
-    # Phase 2: fixed number of inlier-only refinement rounds
-    # (reference `converge` pattern, stereouv_aligner.cpp:210-255).
-    def refine_body(i, carry):
-        x, inliers = carry
-        x_new, _, new_inl, _ = one_round(x, inliers)
+    # Phase 2: inlier-only refinement rounds with the same chi2-delta early
+    # exit as phase 1 (reference `converge` breaks the inlier loop on
+    # convergence too, stereouv_aligner.cpp:225-236 — a fixed round count
+    # would burn ~60 us/round of while-loop latency on TPU after the
+    # typical 2-3 rounds have converged).
+    def refine_cond(state):
+        _, prev_chi2, chi2, it, _, step = state
+        rel = jnp.abs(prev_chi2 - chi2) / jnp.maximum(chi2, 1e-12)
+        return (it < config.refine_iterations) & (
+            (it < 1) | (rel > config.tolerance) | (step > config.step_tolerance)
+        )
+
+    def refine_body(state):
+        x, _, chi2, it, inliers, _ = state
+        x_new, new_chi2, new_inl, step = one_round(x, inliers)
         # Reject a refinement round that collapses the inlier set
         # (reference keeps the previous estimate in that case).
         keep = jnp.sum(new_inl) >= config.min_num_inliers
-        return (jnp.where(keep, x_new, x), jnp.where(keep, new_inl, inliers))
+        return (
+            jnp.where(keep, x_new, x),
+            chi2,
+            jnp.where(keep, new_chi2, chi2),
+            it + 1,
+            jnp.where(keep, new_inl, inliers),
+            jnp.where(keep, step, 0.0),
+        )
 
-    x, inliers = jax.lax.fori_loop(0, config.refine_iterations, refine_body, (x, inliers))
+    refine_init = (x, jnp.float32(jnp.inf), chi2, jnp.int32(0), inliers,
+                   jnp.float32(jnp.inf))
+    x, _, _, _, inliers, _ = jax.lax.while_loop(
+        refine_cond, refine_body, refine_init
+    )
 
     num_inliers = jnp.sum(inliers).astype(jnp.int32)
     # Final statistics on inliers only.

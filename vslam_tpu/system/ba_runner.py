@@ -24,9 +24,13 @@ from vslam_tpu.backend import ba as ba_mod
 from vslam_tpu.mapping import landmarks as lm_mod
 
 # Static problem shape (compiled once): the optimization window covers the
-# last WINDOW keyframes; each landmark contributes up to OMAX observations.
-WINDOW = 8
-OMAX = 8
+# last WINDOW keyframes; each landmark contributes up to OMAX observations
+# (its MOST RECENT ones — a long-lived landmark keeps a ring of its last
+# OMAX keyframe observations instead of silently truncating to the first
+# few, cf. reference optimizeFactorGraph which keeps every measurement,
+# graph_optimizer.cpp:319-409).
+WINDOW = 16
+OMAX = 16
 MIN_OBS = 2  # landmarks observed once constrain nothing jointly
 
 
@@ -72,7 +76,7 @@ def build_window_problem(engine, window: int = WINDOW, omax: int = OMAX):
     for li, s in enumerate(slots):
         xyz[li] = xyz_all[s]
         w = 1.0 + np.log1p(float(nup_all[s]))
-        for oi, (c, uv) in enumerate(obs[s][:omax]):
+        for oi, (c, uv) in enumerate(obs[s][-omax:]):
             obs_cam[li, oi] = c
             obs_uv4[li, oi] = uv
             obs_w[li, oi] = w
@@ -112,7 +116,14 @@ def run_windowed_ba(engine, iterations: int | None = None) -> np.ndarray | None:
     config = ba_mod.BAConfig(
         iterations=iterations
         or engine.cfg.graph_optimization.maximum_number_of_iterations,
-        robust_chi2=engine.cfg.tracking.aligner_maximum_error_kernel,
+        # enable_robust_kernel_for_landmarks (reference _setPointEdge
+        # Cauchy kernel gate, graph_optimizer.cpp:524): disabled = no
+        # reweighting (threshold effectively infinite).
+        robust_chi2=(
+            engine.cfg.tracking.aligner_maximum_error_kernel
+            if engine.cfg.graph_optimization.enable_robust_kernel_for_landmarks
+            else 1e12
+        ),
     )
 
     n_dev = len(jax.devices())

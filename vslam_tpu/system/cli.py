@@ -25,6 +25,45 @@ import sys
 import numpy as np
 
 
+def write_engine_factor_graph(engine, path: str) -> None:
+    """Assemble the FULL factor graph (poses + landmarks + measurement
+    edges) from a finished engine and export it (writePoseGraphToFile
+    parity, graph_optimizer.cpp:164-262)."""
+    from vslam_tpu.io import g2o_io
+
+    gopt = engine.cfg.graph_optimization
+    poses = np.stack(engine.kf_poses)
+    odometry = [
+        (k - 1, k, engine.kf_odometry[k - 1], engine.kf_odom_weight[k - 1])
+        for k in range(1, len(engine.kf_poses))
+    ] + [(i, j, T, 10.0) for (i, j, T) in engine.closure_edges]
+    landmark_xyz: dict = {}
+    observations = []
+    for m in engine.world_map.local_maps:
+        T = m.T_world_kf
+        slots = np.asarray(m.landmark_slots)
+        xyz_kf = np.asarray(m.xyz_kf)
+        for row in range(len(slots)):
+            slot = int(slots[row])
+            p_kf = xyz_kf[row].astype(np.float64)
+            if slot not in landmark_xyz:
+                landmark_xyz[slot] = T[:3, :3] @ p_kf + T[:3, 3]
+            # 1/depth information (reference _setPointEdge
+            # information_factor_, graph_optimizer.cpp:232).
+            observations.append(
+                (m.map_id, slot, p_kf, 1.0 / max(float(p_kf[2]), 0.1))
+            )
+    g2o_io.write_factor_graph(
+        path, poses, odometry, landmark_xyz, observations,
+        identifier_space=gopt.identifier_space,
+        base_information_frame=gopt.base_information_frame,
+        free_translation_for_poses=gopt.free_translation_for_poses,
+        base_information_frame_factor_for_translation=(
+            gopt.base_information_frame_factor_for_translation
+        ),
+    )
+
+
 def cmd_run(args):
     from vslam_tpu.io import datasets
     from vslam_tpu.io.config import load_config
@@ -59,7 +98,11 @@ def cmd_run(args):
         engine.process(frame.img_left, frame.img_right)
         timestamps.append(frame.timestamp)
         if frame.index % 50 == 0:
-            rep = engine.report()
+            # report_lite: the full report() drains the device pipeline
+            # (engine._flush_tracker) and would stall the run at every
+            # status line — the reference's status line is free
+            # (slam_assembly.cpp:453-477).
+            rep = engine.report_lite()
             print(
                 f"frame {frame.index}/{n} | {rep['mean_frame_hz']:.1f} Hz | "
                 f"landmarks {rep['n_landmarks']} | local maps {rep['n_local_maps']} | "
@@ -81,6 +124,10 @@ def cmd_run(args):
             for k in range(1, len(engine.kf_poses))
         ] + [(i, j, T, 10.0) for (i, j, T) in engine.closure_edges]
         g2o_io.write_pose_graph(args.save_pose_graph, np.stack(engine.kf_poses), edges)
+    if args.save_factor_graph and engine.kf_poses:
+        from vslam_tpu.io import g2o_io
+
+        write_engine_factor_graph(engine, args.save_factor_graph)
     engine.print_report()
     with open(args.timing_output, "w") as f:
         json.dump(engine.report(), f, indent=2)
@@ -160,6 +207,10 @@ def main(argv=None):
     pr.add_argument("--output-tum", default=None)
     pr.add_argument("--save-pose-graph", default=None,
                     help="write g2o pose graph (reference -save-pose-graph)")
+    pr.add_argument("--save-factor-graph", default=None,
+                    help="write FULL g2o factor graph: poses + landmark "
+                         "vertices + measurement edges "
+                         "(writePoseGraphToFile parity)")
     pr.add_argument("--timing-output", default="timing_vslam_tpu.json",
                     help="machine-readable report (timing_proslam.txt parity)")
     pr.add_argument("--trace-dir", default=None,

@@ -80,7 +80,17 @@ class SlamEngine:
         ):
             from vslam_tpu.parallel import mesh as mesh_mod
 
-            self.mesh = mesh_mod.make_mesh()
+            # ParallelismParameters mesh layout: (1,) means "use every
+            # visible device on the configured axis"; an explicit shape
+            # caps the device count (e.g. mesh_shape: [4]).
+            par = self.cfg.parallelism
+            n_mesh = int(np.prod(par.mesh_shape))
+            self.mesh = mesh_mod.make_mesh(
+                n_devices=None if n_mesh <= 1 else n_mesh,
+                axis_name=(
+                    par.mesh_axis_names[-1] if par.mesh_axis_names else "lm"
+                ),
+            )
         reloc_mesh = (
             self.mesh if self.cfg.parallelism.shard_descriptor_db else None
         )
@@ -145,9 +155,14 @@ class SlamEngine:
             self.tracker.flush()
             self._consume_keyframe_events()
             # Drain the deferred closure pipeline to empty (query ->
-            # ICP -> closure needs two resolve passes).
+            # ICP -> closure needs two resolve passes).  Direct device_gets
+            # here; discard any armed piggyback so a later drain cannot
+            # deliver stale results against different handle lists.
             while self._inflight_queries or self._inflight_icp:
                 self._resolve_inflight()
+            if hasattr(self.tracker, "set_pending_extra"):
+                self.tracker.set_pending_extra(None)
+                self.tracker.take_fetched_extra()
 
     def _consume_keyframe_events(self):
         """Pipelined keyframe path: register every harvested snapshot and
@@ -161,38 +176,58 @@ class SlamEngine:
         # Register new keyframes FIRST: corrections from closures resolved
         # below then rewrite their poses along with everything else.
         local_maps = [self._register_keyframe(snap) for snap in snaps]
-        # Resolve last drain's dispatched queries/ICPs — their device work
-        # completed long ago, so this is one round trip.
-        self._resolve_inflight()
-        if not local_maps:
-            return
-        if self.open_loop:
-            for local_map in local_maps:
-                self.relocalizer.add_local_map(local_map)
-            return
-        with log.measure("relocalization"):
-            # One fused query+insert program for the whole drain's
-            # keyframes; results are fetched at the NEXT drain
-            # (_resolve_inflight) so closure search never blocks tracking.
-            handles = self.relocalizer.submit_batch(local_maps)
-            self._inflight_queries.extend(h for h in handles if h is not None)
+        # Resolve last drain's dispatched queries/ICPs — their results
+        # rode the drain-bundle transfer (tracker.take_fetched_extra), so
+        # no extra round trip happens here.
+        fetched = None
+        piggyback = hasattr(self.tracker, "take_fetched_extra")
+        if piggyback:
+            fetched = self.tracker.take_fetched_extra()
+        # Piggyback-capable trackers resolve ONLY when a drain delivered
+        # the results — a direct device_get here would stall the pipeline
+        # on every frame between drains (flush resolves directly instead).
+        if fetched is not None or not piggyback:
+            self._resolve_inflight(fetched)
+        if local_maps:
+            if self.open_loop:
+                for local_map in local_maps:
+                    self.relocalizer.add_local_map(local_map)
+            else:
+                with log.measure("relocalization"):
+                    # One fused query+insert program for the whole drain's
+                    # keyframes; results are fetched at the NEXT drain so
+                    # closure search never blocks tracking.
+                    handles = self.relocalizer.submit_batch(local_maps)
+                    self._inflight_queries.extend(
+                        h for h in handles if h is not None
+                    )
+        # Arm the next drain to carry this round's pending device results.
+        if hasattr(self.tracker, "set_pending_extra"):
+            q = [(h.idx_dev, h.ok_dev) for h in self._inflight_queries]
+            icp = [j.res_dev for j in self._inflight_icp]
+            self.tracker.set_pending_extra((q, icp) if (q or icp) else None)
 
-    def _resolve_inflight(self):
-        """Fetch every in-flight closure query result and ICP result in
-        ONE device_get; finished ICPs become applied closures, voted
-        queries dispatch their ICP (fetched next time around)."""
+    def _resolve_inflight(self, fetched=None):
+        """Resolve every in-flight closure query result and ICP result:
+        finished ICPs become applied closures, voted queries dispatch
+        their ICP (fetched next time around).  `fetched` carries the
+        results pre-fetched with the drain bundle; when absent (flush
+        path) ONE device_get fetches everything."""
         queries, icps = self._inflight_queries, self._inflight_icp
         if not queries and not icps:
             return
         self._inflight_queries, self._inflight_icp = [], []
         closures = []
         with log.measure("relocalization"):
-            fetched_q, fetched_icp = jax.device_get(
-                (
-                    [(h.idx_dev, h.ok_dev) for h in queries],
-                    [j.res_dev for j in icps],
+            if fetched is not None:
+                fetched_q, fetched_icp = fetched
+            else:
+                fetched_q, fetched_icp = jax.device_get(
+                    (
+                        [(h.idx_dev, h.ok_dev) for h in queries],
+                        [j.res_dev for j in icps],
+                    )
                 )
-            )
             # Older work first: ICP verdicts -> closures to apply.
             for job, res in zip(icps, fetched_icp):
                 closure = self.relocalizer.finish_icp(job, res)
@@ -203,8 +238,12 @@ class SlamEngine:
                 job = self.relocalizer.vote_and_dispatch_icp(h)
                 if job is not None:
                     self._inflight_icp.append(job)
+        # Record + merge every closure, then optimize ONCE for the batch.
         for closure in closures:
-            self._apply_closure(closure)
+            self._apply_closure(closure, optimize=False)
+        if closures:
+            with log.measure("pose_graph_optimization"):
+                self._optimize_pose_graph()
 
     def _synchronous_keyframe_path(self):
         """Host-side keyframe trigger for the modular tracker (reference
@@ -294,18 +333,30 @@ class SlamEngine:
         self._maybe_run_bundle_adjustment(snap)
         return local_map
 
-    def _apply_closure(self, closure) -> np.ndarray | None:
-        """Pose-graph optimization + landmark merging for a verified
-        closure; returns the last-segment correction (or None)."""
+    def _apply_closure(self, closure, optimize: bool = True) -> np.ndarray | None:
+        """Record + merge a verified closure; optionally run the pose-graph
+        optimization (the pipelined path batches one optimization per
+        drain over all of its closures instead — at KITTI-00 scale a
+        closure can fire on most keyframes and per-closure optimization
+        would dominate the run).  Returns the last-segment correction."""
         self.world_map.add_closure(closure)
         # T_ref_query maps query-keyframe coords into reference-keyframe
         # coords, i.e. the measured relative pose T_{ref<-query}; the pose
         # graph wants T_ij = T_i^-1 T_j with i=reference vertex.
-        self.closure_edges.append(
-            (closure.reference_id, closure.query_id, closure.T_ref_query)
-        )
-        with log.measure("pose_graph_optimization"):
-            correction = self._optimize_pose_graph()
+        # ONE closure edge per query map (reference Relocalizer::prune
+        # keeps the best closure per query, relocalizer.cpp:190-224): a
+        # re-verified query replaces its previous edge.
+        edge = (closure.reference_id, closure.query_id, closure.T_ref_query)
+        for k, (_, qid, _) in enumerate(self.closure_edges):
+            if qid == closure.query_id:
+                self.closure_edges[k] = edge
+                break
+        else:
+            self.closure_edges.append(edge)
+        correction = None
+        if optimize:
+            with log.measure("pose_graph_optimization"):
+                correction = self._optimize_pose_graph()
 
         # Merge corresponding landmarks (reference mergeLandmarks after
         # closure optimization, world_map.cpp:305).
@@ -351,19 +402,32 @@ class SlamEngine:
         self._slot_remap.update(remap)
         # Every external slot reference follows the merge: live frame,
         # local maps, and the relocalizer's row metadata (reference
-        # LocalMap::replace, local_map.cpp:109-127).
+        # LocalMap::replace, local_map.cpp:109-127).  One LUT pass per
+        # array instead of a per-pair equality scan — the scan is
+        # O(maps x pairs x K) and dominates closure host work at
+        # KITTI-00 scale.
+        cap = tracker.table.capacity
+        lut = np.arange(cap, dtype=np.int32)
+        for src, dst in remap.items():
+            lut[src] = dst
+        lut = lut[lut]  # compress one chain level (remaps are pre-compressed)
+
+        def follow(arr):
+            a = np.asarray(arr)
+            out = a.copy()
+            pos = a >= 0
+            out[pos] = lut[a[pos]]
+            return out
+
         if tracker.prev_frame is not None:
-            ls = np.array(tracker.prev_frame.landmark_slot)  # mutable copy
-            for src, dst in remap.items():
-                ls[ls == src] = dst
             tracker.prev_frame = tracker.prev_frame._replace(
-                landmark_slot=jnp.asarray(ls)
+                landmark_slot=jnp.asarray(
+                    follow(tracker.prev_frame.landmark_slot)
+                )
             )
         for m in self.world_map.local_maps:
-            sl = m.landmark_slots
-            for src, dst in remap.items():
-                sl[sl == src] = dst
-        self.relocalizer.apply_remap(remap)
+            m.landmark_slots = follow(m.landmark_slots)
+        self.relocalizer.apply_remap(remap, lut=lut)
 
     # ------------------------------------------------------------------
     def _optimize_pose_graph(self) -> np.ndarray | None:
@@ -378,47 +442,53 @@ class SlamEngine:
         n = len(self.kf_poses)
         if n < 3:
             return None
-        ei, ej, eT, ew = [], [], [], []
-        for k in range(1, n):
-            ei.append(k - 1)
-            ej.append(k)
-            eT.append(self.kf_odometry[k - 1])
-            ew.append(self.kf_odom_weight[k - 1])
-        for (i, j, T_ij) in self.closure_edges:
-            ei.append(i)
-            ej.append(j)
-            eT.append(T_ij)
-            ew.append(10.0)  # closure edges x10 (graph_optimizer.cpp:301)
 
-        # Pad poses/edges to power-of-two buckets: the optimizer then
-        # compiles once per bucket instead of once per keyframe count.
+        # Chain-structured problem (odometry edges ARE consecutive) for the
+        # O(P*C) increment-space solver — pad poses/closures to
+        # power-of-two buckets so the optimizer compiles once per bucket
+        # instead of once per keyframe count.
         def pow2(x):
             return 1 << max(int(np.ceil(np.log2(max(x, 1)))), 3)
 
-        P_pad, E_pad = pow2(n), pow2(len(ei))
+        P_pad = pow2(n)
+        nc = len(self.closure_edges)
+        C_pad = pow2(max(nc, 1))
         poses_arr = np.tile(np.eye(4, dtype=np.float32), (P_pad, 1, 1))
         poses_arr[:n] = np.stack(self.kf_poses).astype(np.float32)
-        eT_arr = np.tile(np.eye(4, dtype=np.float32), (E_pad, 1, 1))
-        eT_arr[: len(ei)] = np.stack(eT).astype(np.float32)
-        ei_arr = np.zeros(E_pad, np.int32)
-        ej_arr = np.zeros(E_pad, np.int32)
-        ew_arr = np.zeros(E_pad, np.float32)
-        ei_arr[: len(ei)] = ei
-        ej_arr[: len(ej)] = ej
-        ew_arr[: len(ew)] = ew
+        odo_T = np.tile(np.eye(4, dtype=np.float32), (P_pad, 1, 1))
+        odo_T[: n - 1] = np.stack(self.kf_odometry).astype(np.float32)
+        odo_w = np.zeros(P_pad, np.float32)
+        odo_w[: n - 1] = self.kf_odom_weight
+        clo_i = np.zeros(C_pad, np.int32)
+        clo_j = np.zeros(C_pad, np.int32)
+        clo_T = np.tile(np.eye(4, dtype=np.float32), (C_pad, 1, 1))
+        clo_w = np.zeros(C_pad, np.float32)
+        for c, (i, j, T_ij) in enumerate(self.closure_edges):
+            clo_i[c] = i
+            clo_j[c] = j
+            clo_T[c] = T_ij
+            clo_w[c] = 10.0  # closure edges x10 (graph_optimizer.cpp:301)
 
-        graph = pg.PoseGraph(
+        graph = pg.ChainPoseGraph(
             poses=jnp.asarray(poses_arr),
-            edge_i=jnp.asarray(ei_arr),
-            edge_j=jnp.asarray(ej_arr),
-            edge_T_ij=jnp.asarray(eT_arr),
-            edge_weight=jnp.asarray(ew_arr),
-            edge_valid=jnp.asarray(np.arange(E_pad) < len(ei)),
+            odo_T=jnp.asarray(odo_T),
+            odo_weight=jnp.asarray(odo_w),
+            odo_valid=jnp.asarray(np.arange(P_pad) < n - 1),
+            clo_i=jnp.asarray(clo_i),
+            clo_j=jnp.asarray(clo_j),
+            clo_T=jnp.asarray(clo_T),
+            clo_weight=jnp.asarray(clo_w),
+            clo_valid=jnp.asarray(np.arange(C_pad) < nc),
             pose_valid=jnp.asarray(np.arange(P_pad) < n),
         )
-        opt, _ = pg.optimize_pose_graph(
+        gopt = self.cfg.graph_optimization
+        opt, _ = pg.optimize_pose_graph_chain(
             graph,
-            iterations=self.cfg.graph_optimization.maximum_number_of_iterations,
+            iterations=gopt.maximum_number_of_iterations,
+            robust_kernel_chi2=(
+                1.0 if gopt.enable_robust_kernel_for_poses else 1e12
+            ),
+            levenberg=gopt.optimization_algorithm.upper() == "LEVENBERG",
         )
         opt = np.asarray(opt)[:n]
         C_last = self._propagate_corrections(opt)
@@ -436,6 +506,20 @@ class SlamEngine:
                 for k in range(n)
             ]
         ).astype(np.float32)
+        # Back-propagation delta gate (reference
+        # minimum_estimation_delta_for_update_meters,
+        # graph_optimizer.cpp:430-450): micro-corrections below the gate are
+        # suppressed — the keyframe keeps its previous pose and nothing
+        # downstream moves for it.
+        gate = self.cfg.graph_optimization.minimum_estimation_delta_for_update_meters
+        if gate > 0.0:
+            small = np.linalg.norm(corrections[:, :3, 3], axis=1) < gate
+            if small.any():
+                corrections[small] = np.eye(4, dtype=np.float32)
+                opt_poses = opt_poses.copy()
+                opt_poses[small] = np.stack(
+                    [self.kf_poses[k] for k in np.flatnonzero(small)]
+                )
 
         # Landmarks move with their ORIGIN local map (recorded at spawn in
         # table.origin_kf) — pad the correction array to power-of-two
@@ -497,6 +581,25 @@ class SlamEngine:
     def trajectory(self) -> np.ndarray:
         self._flush_tracker()
         return np.stack(self.tracker.trajectory)
+
+    def report_lite(self) -> dict:
+        """Status-line statistics WITHOUT draining the device pipeline
+        (reference 5-second status line, slam_assembly.cpp:453-477, costs
+        nothing; report() flushes and is for end-of-run only).  Values lag
+        by up to one drain interval."""
+        ft = np.asarray(self._frame_times) if self._frame_times else np.zeros(1)
+        stats = self.tracker.stats
+        return {
+            "total_frames": stats.n_frames,
+            "mean_frame_hz": round(float(1.0 / max(ft.mean(), 1e-9)), 2),
+            # n_spawned from harvested stats — NOT allocator.num_allocated,
+            # which reads a device scalar and would stall the pipeline.
+            "n_landmarks": stats.n_spawned,
+            "n_local_maps": len(self.world_map),
+            "n_closures": len(self.world_map.closures),
+            "n_optimizations": self.n_optimizations,
+            "n_track_breaks": stats.n_breaks,
+        }
 
     def report(self) -> dict:
         """printReport parity (slam_assembly.cpp:622-744)."""

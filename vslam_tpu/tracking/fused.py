@@ -56,6 +56,12 @@ class TrackerState(NamedTuple):
     next_slot: jnp.ndarray  # int32 scalar
     frame_idx: jnp.ndarray  # int32 scalar
     has_prev: jnp.ndarray  # bool scalar
+    # Tracker status (reference Frame::Localizing|Tracking, frame.h:19):
+    # True while the last registration failed (or at start/after resume) —
+    # the next track attempt then matches BY APPEARANCE (projection-free
+    # global Hamming match, pose_tracker_3d.cpp:87-92,227-239) instead of
+    # within the projected search window.
+    localizing: jnp.ndarray  # bool scalar
     ring: jnp.ndarray  # (RING, RING_W) f32 packed per-frame results
     # --- keyframe machinery (in-graph local-map trigger + snapshots) -----
     # The local-map creation trigger (reference world_map.cpp:108-111) and
@@ -131,6 +137,14 @@ class FusedParams(NamedTuple):
     gate_max: float = 90.0
     good_tracking_ratio: float = 0.3
     target_keypoints: int = 700
+    # Controller dead band (reference target_number_of_keypoints_tolerance,
+    # parameters.h:163): no threshold adjustment within +-tol of target.
+    target_tolerance: float = 0.1
+    # LandmarkParameters (reference parameters.h:97-126), passed through to
+    # the batched landmark refinement.
+    lm_min_forced_updates: int = 0
+    lm_min_meas_for_opt: int = 0
+    lm_max_t_err_depth_ratio: float = 0.0
     threshold_min: float = 5.0
     threshold_max: float = 100.0
     threshold_max_change: float = 10.0
@@ -165,6 +179,7 @@ def init_state(cam: cam_ops.CameraParams, params: FusedParams,
         next_slot=jnp.int32(0),
         frame_idx=jnp.int32(0),
         has_prev=jnp.asarray(False),
+        localizing=jnp.asarray(True),
         ring=jnp.zeros((params.ring_size, RING_W), jnp.float32),
         T_last_kf=jnp.eye(4),
         frames_since_kf=jnp.int32(0),
@@ -315,6 +330,9 @@ def _spawn_and_update(cam, params: FusedParams, state, cur):
         cam, table, state.T_world_cam,
         cur.landmark_slot, cur.uv4, cur.desc, cur.valid, state.frame_idx,
         mode=params.mode,
+        min_forced_updates=params.lm_min_forced_updates,
+        min_meas_for_opt=params.lm_min_meas_for_opt,
+        max_t_err_depth_ratio=params.lm_max_t_err_depth_ratio,
     )
     return table, cur, next_slot, n_spawned, free_count
 
@@ -330,6 +348,9 @@ def _step_tail(cam, params: FusedParams, track_fn, state: TrackerState,
     # In-graph detector threshold controller
     # (base_framepoint_generator.cpp:440-459).
     err = (n_kp.astype(jnp.float32) - params.target_keypoints) / params.target_keypoints
+    # Dead band: inside +-target_tolerance of the target, leave the
+    # threshold alone (reference target_number_of_keypoints_tolerance).
+    err = jnp.where(jnp.abs(err) <= params.target_tolerance, 0.0, err)
     delta = jnp.clip(err * params.threshold_max_change,
                      -params.threshold_max_change, params.threshold_max_change)
     threshold = jnp.clip(state.threshold + delta,
@@ -359,7 +380,16 @@ def _step_tail(cam, params: FusedParams, track_fn, state: TrackerState,
             & (ratio >= params.min_inlier_ratio)
         )
 
-    res1 = attempt(state.radius_px, state.desc_gate, T_guess)
+    # Localizing state => first attempt matches BY APPEARANCE: the search
+    # window widens past the image (projection-free global Hamming match)
+    # with an identity motion guess and the maximum descriptor gate
+    # (reference track_by_appearance, pose_tracker_3d.cpp:87-92,227-239).
+    appearance = state.localizing & state.has_prev
+    res1 = attempt(
+        jnp.where(appearance, jnp.float32(1e6), state.radius_px),
+        jnp.where(appearance, jnp.float32(params.gate_max), state.desc_gate),
+        jnp.where(appearance, jnp.eye(4), T_guess),
+    )
     ok1 = accept(res1)
 
     def retry2(_):
@@ -453,7 +483,7 @@ def _step_tail(cam, params: FusedParams, track_fn, state: TrackerState,
     def take_snapshot(args):
         kf_pose, kf_fidx, kf_n, kf_slots, kf_xyz, kf_desc, kf_uv4, prot = args
         n_snap = jnp.minimum(n_lm_backed, params.kf_max_landmarks)
-        perm = jnp.argsort(~lm_backed, stable=True)
+        perm = frame_mod.stable_partition_perm(lm_backed)
         rank = jnp.arange(params.capacity)
         slots_s = jnp.where(rank < n_snap, cur.landmark_slot[perm], -1)
         g = jnp.maximum(slots_s, 0)
@@ -564,6 +594,7 @@ def _step_tail(cam, params: FusedParams, track_fn, state: TrackerState,
         next_slot=next_slot,
         frame_idx=state.frame_idx + 1,
         has_prev=jnp.asarray(True),
+        localizing=~ok,
         ring=ring,
         T_last_kf=T_last_kf,
         frames_since_kf=frames_since,

@@ -458,6 +458,19 @@ class FusedPoseTracker:
             gate_min=float(fp.matching_distance_tracking_threshold),
             good_tracking_ratio=tr.good_tracking_ratio,
             target_keypoints=min(int(n_cells * 0.7), int(fp.capacity * 0.7)),
+            target_tolerance=fp.target_number_of_keypoints_tolerance,
+            lm_min_forced_updates=config.landmark.minimum_number_of_forced_updates,
+            lm_min_meas_for_opt=(
+                config.landmark.minimum_number_of_measurements_for_optimization
+            ),
+            lm_max_t_err_depth_ratio=(
+                config.landmark.maximum_translation_error_to_depth_ratio
+            ),
+            # Reference framepoint dropping (world_map.cpp:141-160,
+            # slam_assembly.cpp:591-618): here the analogous map-lifecycle
+            # mechanism is the in-graph eviction sweep of stale low-quality
+            # unprotected landmark slots.
+            enable_eviction=config.command_line.option_drop_framepoints,
             threshold_min=fp.detector_threshold_minimum,
             threshold_max=fp.detector_threshold_maximum,
             threshold_max_change=fp.detector_threshold_maximum_change,
@@ -527,6 +540,10 @@ class FusedPoseTracker:
         # Keyframe event queue: device snapshots harvested at drain time,
         # consumed by the engine via pop_keyframes().
         self._pending_keyframes: list[KeyframeSnapshot] = []
+        # Engine-registered device arrays fetched WITH the next drain
+        # bundle (closure query/ICP results — saves one round trip each).
+        self._pending_extra = None
+        self._fetched_extra = None
         self._kf_harvested = 0  # device kf_count already harvested
         # World-frame corrections applied while frames were in flight: rows
         # / snapshots computed before `cutoff` still carry the OLD world
@@ -768,6 +785,18 @@ class FusedPoseTracker:
         self.stats.add_time("frame_step", time.perf_counter() - t0)
         return self._last_pose
 
+    def set_pending_extra(self, extra) -> None:
+        """Register a device pytree to fetch together with the next drain
+        bundle (engine closure pipeline; None clears)."""
+        self._pending_extra = extra
+
+    def take_fetched_extra(self):
+        """Return (and clear) the extra pytree fetched by the last drain,
+        or None if the last drain carried none."""
+        out = self._fetched_extra
+        self._fetched_extra = None
+        return out
+
     def _corrected(self, T: np.ndarray, fidx: int) -> np.ndarray:
         """Apply world-frame corrections that landed while frame `fidx` was
         in flight (its device result was computed pre-correction)."""
@@ -795,7 +824,17 @@ class FusedPoseTracker:
         if upto == self._harvested:
             return
         assert upto - self._harvested <= self.params.ring_size
-        bundle = jax.device_get(bundle)
+        # Piggyback externally-registered device arrays (the engine's
+        # in-flight closure query/ICP results) on this drain's transfer:
+        # ONE tunnel round trip instead of a separate ~15-30 ms device_get
+        # per resolve (see engine._resolve_inflight).
+        if self._pending_extra is not None:
+            bundle, self._fetched_extra = jax.device_get(
+                (bundle, self._pending_extra)
+            )
+            self._pending_extra = None
+        else:
+            bundle = jax.device_get(bundle)
         ring = np.asarray(bundle[0])
         self._kf_bundle = bundle[1:]
         s = self.stats
