@@ -161,3 +161,24 @@ def test_rgbd_misaligned_depth_sensor_end_to_end():
     total = np.sum(np.linalg.norm(np.diff(world.poses[:, :3, 3], axis=0), axis=1))
     assert tr.stats.n_breaks == 0
     assert rmse < 0.05 * total, f"ATE {rmse:.3f} m over {total:.1f} m"
+
+
+def test_bilateral_depth_filter_preserves_edges():
+    """Reference bilateral-filter option (depth_framepoint_generator.cpp:
+    415-421): smooths within surfaces, does not smear across depth
+    discontinuities, leaves invalid (0) pixels invalid."""
+    import jax.numpy as jnp
+
+    from vslam_tpu.frontend.depth import bilateral_filter_depth
+
+    rng = np.random.default_rng(0)
+    d = np.zeros((40, 40), np.float32)
+    d[5:35, 5:35] = 2.0 + rng.normal(0, 0.01, (30, 30))
+    d[15:25, 15:25] = 5.0 + rng.normal(0, 0.01, (10, 10))
+    out = np.asarray(bilateral_filter_depth(jnp.asarray(d)))
+    assert out[0, 0] == 0.0
+    assert abs(out[20, 20] - 5.0) < 0.05
+    assert abs(out[10, 10] - 2.0) < 0.05
+    # In-surface noise is reduced.
+    inner = slice(7, 13)
+    assert out[inner, inner].std() <= d[inner, inner].std() + 1e-6

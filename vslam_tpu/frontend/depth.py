@@ -27,6 +27,41 @@ def gather_depth(depth_m: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
     return depth_m[r, c]
 
 
+@partial(jax.jit, static_argnames=("radius",))
+def bilateral_filter_depth(
+    depth_m: jnp.ndarray,
+    radius: int = 2,
+    sigma_space: float = 2.0,
+    sigma_range_m: float = 0.1,
+) -> jnp.ndarray:
+    """Edge-preserving depth smoothing (reference cv::bilateralFilter
+    option on the registered depth map, depth_framepoint_generator.cpp:
+    415-421): a shifted-window weighted mean where weights fall off with
+    pixel distance AND depth difference, so object boundaries stay sharp.
+    Invalid pixels (depth 0) carry zero weight and stay 0."""
+    H, W = depth_m.shape
+    pad = jnp.pad(depth_m, radius)
+    num = jnp.zeros_like(depth_m)
+    den = jnp.zeros_like(depth_m)
+    valid_c = depth_m > 0
+    inv_2ss = 0.5 / (sigma_space * sigma_space)
+    inv_2sr = 0.5 / (sigma_range_m * sigma_range_m)
+    for dr in range(-radius, radius + 1):
+        for dc in range(-radius, radius + 1):
+            nb = jax.lax.dynamic_slice(
+                pad, (radius + dr, radius + dc), (H, W)
+            )
+            w = jnp.exp(
+                -(dr * dr + dc * dc) * inv_2ss
+                - (nb - depth_m) ** 2 * inv_2sr
+            )
+            w = jnp.where(nb > 0, w, 0.0)
+            num = num + w * nb
+            den = den + w
+    out = jnp.where(den > 0, num / jnp.maximum(den, 1e-12), 0.0)
+    return jnp.where(valid_c, out, 0.0)
+
+
 @jax.jit
 def register_depth(
     cam_rgb: cam_ops.CameraParams,

@@ -40,9 +40,10 @@ ARC_LEN = 9
 class Keypoints(NamedTuple):
     """Fixed-capacity keypoint set (SoA, masked)."""
 
-    uv: jnp.ndarray  # (K, 2) f32 [u=col, v=row]
+    uv: jnp.ndarray  # (K, 2) f32 [u=col, v=row] — always LEVEL-0 coords
     score: jnp.ndarray  # (K,) f32 detector response
     valid: jnp.ndarray  # (K,) bool
+    octave: jnp.ndarray = None  # (K,) int32 pyramid level (0 = full res)
 
 
 def _shifted_stack(img: jnp.ndarray) -> jnp.ndarray:
@@ -163,18 +164,10 @@ def nms3(score: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(score >= neigh, score, 0.0)
 
 
-@partial(jax.jit, static_argnames=("bin_size", "capacity", "border", "detector"))
-def detect_keypoints(
-    img: jnp.ndarray,
-    threshold: jnp.ndarray,
-    bin_size: int = 16,
-    capacity: int = 1024,
-    border: int = 20,
-    detector: str = "FAST",
-) -> Keypoints:
-    """Full detection pipeline: score -> NMS -> per-bin argmax -> top-K.
+def _detect_level(img, threshold, bin_size, capacity, border, detector):
+    """Single-level pipeline: score -> NMS -> per-bin argmax -> top-K.
 
-    Returns keypoints at pixel-center coordinates, strongest first.
+    Returns (uv (K,2) level-local pixel coords, score (K,), valid (K,)).
     """
     H, W = img.shape
     score = nms3(score_map(img, threshold, detector))
@@ -214,7 +207,64 @@ def detect_keypoints(
         uv = jnp.concatenate([uv, jnp.zeros((pad, 2), jnp.float32)])
         top_score = jnp.concatenate([top_score, jnp.zeros(pad, jnp.float32)])
         valid = jnp.concatenate([valid, jnp.zeros(pad, bool)])
-    return Keypoints(uv=uv, score=top_score, valid=valid)
+    return uv, top_score, valid
+
+
+def downsample2(img: jnp.ndarray) -> jnp.ndarray:
+    """2x2 average pooling (one pyramid octave down)."""
+    H2 = (img.shape[0] // 2) * 2
+    W2 = (img.shape[1] // 2) * 2
+    c = img[:H2, :W2]
+    return 0.25 * (c[0::2, 0::2] + c[0::2, 1::2] + c[1::2, 0::2] + c[1::2, 1::2])
+
+
+def octave_capacities(capacity: int, octaves: int) -> list[int]:
+    """Static per-octave keypoint budget: halving shares, remainder to
+    level 0 (cv::ORB distributes per-level feature counts the same way,
+    base_framepoint_generator.cpp:52-70)."""
+    if octaves == 1:
+        return [capacity]
+    shares = [capacity >> (o + 1) for o in range(1, octaves)]
+    return [capacity - sum(shares)] + shares
+
+
+@partial(jax.jit, static_argnames=("bin_size", "capacity", "border",
+                                   "detector", "octaves"))
+def detect_keypoints(
+    img: jnp.ndarray,
+    threshold: jnp.ndarray,
+    bin_size: int = 16,
+    capacity: int = 1024,
+    border: int = 20,
+    detector: str = "FAST",
+    octaves: int = 1,
+) -> Keypoints:
+    """Multi-octave detection over a 2x image pyramid (cv::ORB-class
+    multi-scale behaviour, base_framepoint_generator.cpp:28-136): each
+    octave runs the full single-level pipeline on a 2x-downsampled image
+    with a static share of the capacity; keypoint coordinates map back to
+    level 0.  octaves=1 is the original single-scale path.
+    """
+    uvs, scores, valids, octs = [], [], [], []
+    level = img
+    for o, cap_o in enumerate(octave_capacities(capacity, octaves)):
+        if o > 0:
+            level = downsample2(level)
+        uv, sc, va = _detect_level(level, threshold, bin_size, cap_o, border,
+                                   detector)
+        scale = float(1 << o)
+        # Level-o pixel (r, c) covers level-0 pixels [r*s, r*s + s); its
+        # center in level-0 coordinates is r*s + (s-1)/2.
+        uvs.append(uv * scale + (scale - 1.0) / 2.0)
+        scores.append(sc)
+        valids.append(va)
+        octs.append(jnp.full(cap_o, o, jnp.int32))
+    return Keypoints(
+        uv=jnp.concatenate(uvs),
+        score=jnp.concatenate(scores),
+        valid=jnp.concatenate(valids),
+        octave=jnp.concatenate(octs),
+    )
 
 
 class ThresholdController:

@@ -69,6 +69,10 @@ class FramepointGenerationParameters:
     detector_threshold_maximum_change: float = 10.0
     detector_type: str = "FAST"
     descriptor_type: str = "BRIEF256"
+    # Pyramid levels for detection+description (TPU-native analog of the
+    # reference detectors' internal multi-scale behaviour — cv::ORB runs 8
+    # levels, base_framepoint_generator.cpp:52-70).  1 = single scale.
+    detector_number_of_octaves: int = 1
     bin_size_pixels: int = 16
     capacity: int = 1024  # fixed keypoint capacity (TPU-native addition)
     border_pixels: int = 20
@@ -82,6 +86,9 @@ class FramepointGenerationParameters:
     maximum_depth_meters: float = 10.0
     minimum_depth_meters: float = 0.3
     depth_scale_factor: float = 1e-3
+    # Optional bilateral smoothing of the (registered) depth map
+    # (reference depth_framepoint_generator.cpp:415-421).
+    enable_bilateral_filtering: bool = False
     # Misaligned depth sensor calibration (reference registers the depth
     # image into the RGB camera every frame, _computeDepthMap,
     # depth_framepoint_generator.cpp:410-484).  None = already registered

@@ -97,6 +97,37 @@ def _compact(order_key: jnp.ndarray, *arrays):
     return tuple(a[perm] for a in arrays)
 
 
+def _pyramid_descriptors(img_l, img_r, kl, kr, capacity, octaves):
+    """Per-octave dense-BRIEF description: each octave's keypoint slice
+    (static ranges — detect_keypoints concatenates per octave) gathers
+    from the planes of ITS pyramid level, so descriptors sample the scale
+    the corner was detected at (cv::ORB per-level description,
+    base_framepoint_generator.cpp:52-70).
+
+    Returns (dl (K,8), dr (K,8), planes0 (2,8,H,W) level-0 planes)."""
+    planes0 = brief.dense_planes_pair(img_l, img_r)
+    caps = detect.octave_capacities(capacity, octaves)
+    dl_parts, dr_parts = [], []
+    lvl_l, lvl_r = img_l, img_r
+    start = 0
+    for o, cap_o in enumerate(caps):
+        if o == 0:
+            pl_l, pl_r = planes0[0], planes0[1]
+        else:
+            lvl_l = detect.downsample2(lvl_l)
+            lvl_r = detect.downsample2(lvl_r)
+            pl_l = brief.dense_planes(lvl_l)
+            pl_r = brief.dense_planes(lvl_r)
+        s = float(1 << o)
+        sl = slice(start, start + cap_o)
+        uv_l_o = (kl.uv[sl] - (s - 1.0) / 2.0) / s
+        uv_r_o = (kr.uv[sl] - (s - 1.0) / 2.0) / s
+        dl_parts.append(brief.gather_descriptors(pl_l, lvl_l.shape, uv_l_o))
+        dr_parts.append(brief.gather_descriptors(pl_r, lvl_r.shape, uv_r_o))
+        start += cap_o
+    return jnp.concatenate(dl_parts), jnp.concatenate(dr_parts), planes0
+
+
 def stereo_frontend_core(
     cam: cam_ops.CameraParams,
     img_l: jnp.ndarray,
@@ -112,19 +143,24 @@ def stereo_frontend_core(
     descriptor: str = "BRIEF256",
     detector: str = "FAST",
     want_planes: bool = False,
+    octaves: int = 1,
 ):
     """Stereo front-end body (traced inside process_stereo_pair and the
     fused frame step).  With want_planes=True (BRIEF path) also returns the
     (2, 8, H, W) dense descriptor planes for downstream re-description at
-    arbitrary coordinates (landmark recovery)."""
+    arbitrary coordinates (landmark recovery).  octaves > 1 detects and
+    describes over a 2x image pyramid (scale robustness)."""
     kl = detect.detect_keypoints(img_l, threshold, bin_size, capacity, border,
-                                 detector)
+                                 detector, octaves=octaves)
     kr = detect.detect_keypoints(img_r, threshold, bin_size, capacity, border,
-                                 detector)
+                                 detector, octaves=octaves)
     planes = None
     if descriptor == "ORB256":
         dl = _describe(img_l, kl.uv, descriptor)
         dr = _describe(img_r, kr.uv, descriptor)
+    elif octaves > 1:
+        dl, dr, planes = _pyramid_descriptors(img_l, img_r, kl, kr, capacity,
+                                              octaves)
     else:
         planes = brief.dense_planes_pair(img_l, img_r)
         dl = brief.gather_descriptors(planes[0], img_l.shape, kl.uv)
@@ -175,7 +211,7 @@ def stereo_frontend_core(
 
 @partial(jax.jit,
          static_argnames=("capacity", "bin_size", "border", "descriptor",
-                          "detector"))
+                          "detector", "octaves"))
 def process_stereo_pair(
     cam: cam_ops.CameraParams,
     img_l: jnp.ndarray,
@@ -190,6 +226,7 @@ def process_stereo_pair(
     border: int = 20,
     descriptor: str = "BRIEF256",
     detector: str = "FAST",
+    octaves: int = 1,
 ):
     """Full stereo front-end for one image pair, one XLA program.
 
@@ -199,13 +236,13 @@ def process_stereo_pair(
         cam, img_l, img_r, threshold, max_hamming_stereo, epipolar_tol,
         min_disparity, max_disparity, capacity=capacity, bin_size=bin_size,
         border=border, descriptor=descriptor, detector=detector,
-        want_planes=False,
+        want_planes=False, octaves=octaves,
     )
 
 
 @partial(jax.jit,
          static_argnames=("capacity", "bin_size", "border", "descriptor",
-                          "detector", "want_planes"))
+                          "detector", "want_planes", "octaves"))
 def process_depth_frame(
     cam: cam_ops.CameraParams,
     img: jnp.ndarray,
@@ -219,6 +256,7 @@ def process_depth_frame(
     descriptor: str = "BRIEF256",
     detector: str = "FAST",
     want_planes: bool = False,
+    octaves: int = 1,
 ):
     """RGB-D front-end: detect -> describe -> depth gather -> back-project.
 
@@ -231,9 +269,32 @@ def process_depth_frame(
     from vslam_tpu.frontend import depth as depth_mod
 
     kp = detect.detect_keypoints(img, threshold, bin_size, capacity, border,
-                                 detector)
+                                 detector, octaves=octaves)
     planes = None
-    if descriptor == "ORB256" or not want_planes:
+    if descriptor == "ORB256":
+        desc = _describe(img, kp.uv, descriptor)
+    elif octaves > 1:
+        caps = detect.octave_capacities(capacity, octaves)
+        parts = []
+        lvl = img
+        start = 0
+        for o, cap_o in enumerate(caps):
+            if o == 0:
+                pl = brief.dense_planes(img)
+                planes = pl  # level-0 planes kept for recovery
+            else:
+                lvl = detect.downsample2(lvl)
+                pl = brief.dense_planes(lvl)
+            sc = float(1 << o)
+            sl = slice(start, start + cap_o)
+            parts.append(brief.gather_descriptors(
+                pl, lvl.shape, (kp.uv[sl] - (sc - 1.0) / 2.0) / sc
+            ))
+            start += cap_o
+        desc = jnp.concatenate(parts)
+        if not want_planes:
+            planes = None
+    elif not want_planes:
         desc = _describe(img, kp.uv, descriptor)
     else:
         planes = brief.dense_planes(img)  # (8, H, W)

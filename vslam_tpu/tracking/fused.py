@@ -116,6 +116,9 @@ class FusedParams(NamedTuple):
     mode: str = "stereo"  # stereo | depth
     descriptor: str = "BRIEF256"  # BRIEF256 (dense) | ORB256 (rotated, gather)
     detector: str = "FAST"  # FAST | FAST12 | AGAST | HARRIS | GFTT
+    # Pyramid levels for detection + description (cv::ORB-class
+    # multi-scale, base_framepoint_generation.cpp:28-136); 1 = single scale.
+    octaves: int = 1
     # Split pipeline: batched chunk front-end + sequential track steps
     # (make_chunk_frontend / make_track_step) instead of one fully-fused
     # per-frame program.
@@ -156,6 +159,9 @@ class FusedParams(NamedTuple):
     kf_min_landmarks: int = 50
     kf_max_landmarks: int = 1024  # snapshot row cap (<= capacity)
     kf_ring_size: int = 32  # keyframe snapshot ring (must cover a drain gap)
+    # RGB-D: bilateral smoothing of the registered depth map
+    # (depth_framepoint_generator.cpp:415-421).
+    bilateral_depth: bool = False
     # Landmark lifecycle (reference framepoint dropping / landmark pruning).
     enable_eviction: bool = True
     evict_every: int = 32  # frames between eviction sweeps
@@ -266,6 +272,7 @@ def _front_end(cam, params: FusedParams, state, img_l, img_r,
             descriptor=params.descriptor,
             detector=params.detector,
             want_planes=want_planes,
+            octaves=params.octaves,
         )
         if want_planes:
             return out
@@ -280,7 +287,7 @@ def _front_end(cam, params: FusedParams, state, img_l, img_r,
         jnp.float32(params.min_depth), jnp.float32(params.max_depth),
         capacity=params.capacity, bin_size=params.bin_size, border=params.border,
         descriptor=params.descriptor, detector=params.detector,
-        want_planes=want_planes,
+        want_planes=want_planes, octaves=params.octaves,
     )
     if want_planes:
         return out
@@ -623,13 +630,18 @@ def _step_tail(cam, params: FusedParams, track_fn, state: TrackerState,
 
 def _register_depth_input(cam, params: FusedParams, img_r, depth_calib):
     """Reproject a misaligned depth image into the RGB frame (no-op in
-    stereo mode or when the sensors are already aligned)."""
-    if params.mode != "depth" or depth_calib is None:
+    stereo mode or when the sensors are already aligned) and optionally
+    bilateral-smooth it (depth_framepoint_generator.cpp:415-421)."""
+    if params.mode != "depth":
         return img_r
     from vslam_tpu.frontend import depth as depth_mod
 
-    K_depth, T_rgb_depth = depth_calib
-    return depth_mod.register_depth(cam, img_r, K_depth, T_rgb_depth)
+    if depth_calib is not None:
+        K_depth, T_rgb_depth = depth_calib
+        img_r = depth_mod.register_depth(cam, img_r, K_depth, T_rgb_depth)
+    if params.bilateral_depth:
+        img_r = depth_mod.bilateral_filter_depth(img_r)
+    return img_r
 
 
 def _memo_key(params: FusedParams, depth_calib):
@@ -738,6 +750,7 @@ def make_chunk_frontend(params: FusedParams, depth_calib=None):
                     descriptor=params.descriptor,
                     detector=params.detector,
                     want_planes=want_planes,
+                    octaves=params.octaves,
                 )
                 return out if want_planes else out + (None,)
             out = frame_mod.process_depth_frame(
@@ -746,6 +759,7 @@ def make_chunk_frontend(params: FusedParams, depth_calib=None):
                 capacity=params.capacity, bin_size=params.bin_size,
                 border=params.border, descriptor=params.descriptor,
                 detector=params.detector, want_planes=want_planes,
+                octaves=params.octaves,
             )
             return out if want_planes else out + (None,)
 

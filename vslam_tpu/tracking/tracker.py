@@ -152,6 +152,7 @@ class PoseTracker:
                 border=fp.border_pixels,
                 descriptor=fp.descriptor_type,
                 detector=fp.detector_type,
+                octaves=fp.detector_number_of_octaves,
             )
         else:
             depth = jnp.asarray(img_r, jnp.float32)
@@ -172,6 +173,7 @@ class PoseTracker:
                 border=fp.border_pixels,
                 descriptor=fp.descriptor_type,
                 detector=fp.detector_type,
+                octaves=fp.detector_number_of_octaves,
             )
         n_kp = int(n_kp)
         self.controller.update(n_kp)
@@ -443,6 +445,7 @@ class FusedPoseTracker:
             mode=self.mode,
             descriptor=fp.descriptor_type,
             detector=fp.detector_type,
+            octaves=fp.detector_number_of_octaves,
             max_hamming_stereo=fp.maximum_matching_distance_triangulation,
             epipolar_tol=fp.maximum_epipolar_search_offset_pixels,
             min_disparity=fp.minimum_disparity_pixels,
@@ -471,6 +474,7 @@ class FusedPoseTracker:
             # mechanism is the in-graph eviction sweep of stale low-quality
             # unprotected landmark slots.
             enable_eviction=config.command_line.option_drop_framepoints,
+            bilateral_depth=fp.enable_bilateral_filtering,
             threshold_min=fp.detector_threshold_minimum,
             threshold_max=fp.detector_threshold_maximum,
             threshold_max_change=fp.detector_threshold_maximum_change,
