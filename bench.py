@@ -80,6 +80,10 @@ def main():
     cfg.relocalization.preliminary_minimum_matching_ratio = 0.08
     cfg.relocalization.icp_minimum_number_of_inliers = 10
     cfg.relocalization.icp_minimum_inlier_ratio = 0.3
+    # Full windowed BA runs in the benched configuration (reference
+    # optimizeFactorGraph cadence, graph_optimizer.cpp:459-488).
+    cfg.graph_optimization.enable_full_bundle_adjustment = True
+    cfg.graph_optimization.number_of_frames_per_bundle_adjustment = 48
 
     n_frames = 128
     radius = 13.0  # ~82 m loop
@@ -114,6 +118,23 @@ def main():
     rmse, _, _ = traj_eval.ate_rmse(est, world.poses)
     rep = engine.report()
 
+    # BA-off comparison run (same frames): shows what full BA buys.
+    from vslam_tpu.utils import log as log_mod
+
+    log_mod.chronometers.clear()
+    cfg_noba = ParameterCollection()
+    for grp in ("framepoint_generation", "world_map", "relocalization"):
+        setattr(cfg_noba, grp, getattr(cfg, grp))
+    engine_noba = make_engine(cam, cfg_noba)
+    h2 = engine_noba.tracker.prestage(frames)
+    t0 = time.perf_counter()
+    for h in h2:
+        engine_noba.process_prestaged(h)
+    engine_noba._flush_tracker()
+    fps_noba = n_frames / (time.perf_counter() - t0)
+    est2 = np.stack(engine_noba.tracker.trajectory)
+    rmse_noba, _, _ = traj_eval.ate_rmse(est2, world.poses)
+
     # ---- open-loop tracker-only numbers (round-1 headline), both
     # pipelines: fully-fused per-frame steps vs batched-frontend split.
     from vslam_tpu.tracking.tracker import FusedPoseTracker
@@ -137,6 +158,29 @@ def main():
     tracker_fps = tracker_fps_run(False)
     tracker_split_fps = tracker_fps_run(True)
 
+    # ---- KITTI-00-scale synthetic run (VERDICT r2 #2): thousands of
+    # frames, hundreds of local maps, ~1e5 reloc-DB rows, closures firing
+    # deep into the run.
+    scale = None
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                        "scripts"))
+        import scale_run
+
+        scale = scale_run.run_scale(n_frames=2048)
+        scale.pop("stage_table", None)
+    except Exception as e:  # never lose the headline metric to the extra
+        scale = {"error": repr(e)[:200]}
+
+    # Per-stage ms/frame breakdown of the BA-enabled closed-loop run.
+    stage_ms = {
+        k: round(1e3 * v["seconds"] / n_frames, 3)
+        for k, v in rep["stage_table"].items()
+    }
+    stage_ms["frame_step_dispatch"] = round(
+        1e3 * rep["stage_seconds"].get("frame_step", 0.0) / n_frames, 3
+    )
+
     print(
         json.dumps(
             {
@@ -146,6 +190,10 @@ def main():
                 "vs_baseline": round(fps / BASELINE_FPS, 3),
                 "extra": {
                     "ate_rmse_m": round(float(rmse), 4),
+                    "ba_enabled": True,
+                    "n_ba_runs": rep["n_ba_runs"],
+                    "ate_rmse_m_no_ba": round(float(rmse_noba), 4),
+                    "fps_no_ba": round(fps_noba, 2),
                     "loop_length_m": round(2 * np.pi * radius, 1),
                     "n_frames": n_frames,
                     "resolution": "376x1241",
@@ -157,6 +205,8 @@ def main():
                     "tracking_breaks": rep["n_track_breaks"],
                     "tracker_only_fps": round(tracker_fps, 2),
                     "tracker_split_frontend_fps": round(tracker_split_fps, 2),
+                    "stage_ms_per_frame": stage_ms,
+                    "kitti00_scale_run": scale,
                 },
             }
         )

@@ -256,3 +256,61 @@ def test_chain_solver_padded_buckets():
     np.testing.assert_allclose(
         np.asarray(opt_t)[:n], np.asarray(opt_p)[:n], atol=2e-3
     )
+
+
+def test_chain_solver_scales_linearly():
+    """VERDICT done-criterion: chain pose-graph cost grows ~linearly in P
+    (the dense solver is O(P^3)).  Timing ratio P=512 vs P=128 must stay
+    far below the cubic blowup (64x); allow generous slack for CPU noise."""
+    import time
+
+    def build(P, C=8, seed=0):
+        rng = np.random.default_rng(seed)
+        poses = [np.eye(4, dtype=np.float32)]
+        odo = []
+        for k in range(P - 1):
+            xi = np.concatenate(
+                [rng.normal(0, 0.02, 3), rng.normal(0, 0.01, 3)]
+            ).astype(np.float32)
+            dT = np.asarray(lie.exp_se3(jnp.asarray(xi)))
+            odo.append(dT)
+            poses.append(poses[-1] @ dT)
+        poses = np.stack(poses).astype(np.float32)
+        odo_T = np.tile(np.eye(4, dtype=np.float32), (P, 1, 1))
+        odo_T[: P - 1] = np.stack(odo)
+        ci = rng.integers(0, P // 2, C).astype(np.int32)
+        cj = (ci + P // 2).astype(np.int32)
+        cT = np.stack([
+            np.linalg.inv(poses[a]) @ poses[b] for a, b in zip(ci, cj)
+        ]).astype(np.float32)
+        return pg.ChainPoseGraph(
+            poses=jnp.asarray(poses),
+            odo_T=jnp.asarray(odo_T),
+            odo_weight=jnp.asarray((np.arange(P) < P - 1).astype(np.float32)),
+            odo_valid=jnp.asarray(np.arange(P) < P - 1),
+            clo_i=jnp.asarray(ci), clo_j=jnp.asarray(cj),
+            clo_T=jnp.asarray(cT),
+            clo_weight=jnp.asarray(10 * np.ones(C, np.float32)),
+            clo_valid=jnp.ones(C, bool),
+            pose_valid=jnp.ones(P, bool),
+        )
+
+    def timed(P):
+        g = build(P)
+        out, _ = pg.optimize_pose_graph_chain(g, iterations=5)  # compile
+        out.block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(3):
+            out, _ = pg.optimize_pose_graph_chain(g, iterations=5)
+        out.block_until_ready()
+        return (time.perf_counter() - t0) / 3
+
+    t128 = timed(128)
+    t512 = timed(512)
+    # linear -> 4x; leave room for constant overheads and CPU noise, but
+    # stay far below the 64x a dense-cholesky path would show.
+    assert t512 < 16 * max(t128, 1e-4), (t128, t512)
+
+    # And the P=512 solve itself stays fast in absolute terms (done
+    # criterion: closure at P=500 under 50 ms on TPU; CPU gets slack).
+    assert t512 < 2.0, t512

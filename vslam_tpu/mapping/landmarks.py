@@ -178,6 +178,87 @@ def update_observed(
     )
 
 
+@partial(jax.jit, static_argnames=("mode", "min_forced_updates",
+                                   "min_meas_for_opt",
+                                   "max_t_err_depth_ratio"))
+def spawn_and_update_observed(
+    cam: cam_ops.CameraParams,
+    table: LandmarkTable,
+    T_world_cam: jnp.ndarray,
+    slots: jnp.ndarray,  # (K,) slot per framepoint incl. FRESH ones (-1 none)
+    fresh: jnp.ndarray,  # (K,) True where the slot was assigned this frame
+    p_cam: jnp.ndarray,  # (K, 3) current-camera positions (spawn init)
+    uv4: jnp.ndarray,  # (K, 4)
+    desc: jnp.ndarray,  # (K, 8)
+    point_valid: jnp.ndarray,  # (K,)
+    frame_idx: jnp.ndarray,
+    origin_kf: jnp.ndarray,
+    mode: str = "stereo",
+    min_forced_updates: int = 0,
+    min_meas_for_opt: int = 0,
+    max_t_err_depth_ratio: float = 0.0,
+) -> LandmarkTable:
+    """Fused landmark spawn + batched GN refinement: ONE scatter per table
+    field instead of spawn_landmarks + update_observed's separate passes.
+
+    TPU scatters serialize per row (~0.2 us each); the split pair costs
+    13 full-table scatters per frame, this does 8.  Semantics match
+    spawn_landmarks followed by update_observed exactly: fresh rows are
+    initialized (n_updates=1, H=0, origin, unprotected) and then receive
+    their first observation update like any other observed landmark.
+    """
+    obs = point_valid & (slots >= 0)
+    tgt = jnp.where(obs, slots, 0)
+    obs = obs & (table.valid[tgt] | fresh)
+
+    xyz_spawn = lie.transform_point_cloud(T_world_cam, p_cam)
+    f1 = fresh[:, None]
+    base_xyz = jnp.where(f1, xyz_spawn, table.xyz_w[tgt])
+    base_H = jnp.where(fresh[:, None, None], 0.0, table.H_acc[tgt])
+    base_nup = jnp.where(fresh, 1, table.n_updates[tgt])
+
+    if mode == "stereo":
+        xyz_n, H_n, chi2, inlier = aligners.update_landmarks(
+            cam, base_xyz, base_H, T_world_cam, uv4, obs,
+            n_updates=base_nup,
+            min_forced_updates=min_forced_updates,
+            min_meas_for_opt=min_meas_for_opt,
+            max_t_err_depth_ratio=max_t_err_depth_ratio,
+        )
+    else:
+        xyz_n, H_n, chi2, inlier = aligners.update_landmarks_uvd(
+            cam, base_xyz, base_H, T_world_cam, uv4[:, :3], obs
+        )
+
+    o1 = obs[:, None]
+    new_nup = jnp.where(obs, base_nup + 1, table.n_updates[tgt])
+    new_origin = jnp.where(fresh, origin_kf, table.origin_kf[tgt])
+    # Predicated ADD-deltas (collision-safe: unused rows alias slot 0 and
+    # add zero, cf. spawn_landmarks).
+    return table._replace(
+        xyz_w=table.xyz_w.at[tgt].add(
+            jnp.where(o1, xyz_n - table.xyz_w[tgt], 0.0)
+        ),
+        H_acc=table.H_acc.at[tgt].add(
+            jnp.where(obs[:, None, None], H_n - table.H_acc[tgt], 0.0)
+        ),
+        desc=table.desc.at[tgt].add(
+            jnp.where(o1, desc - table.desc[tgt], jnp.uint32(0))
+        ),
+        n_updates=table.n_updates.at[tgt].add(
+            jnp.where(obs, new_nup - table.n_updates[tgt], 0)
+        ),
+        last_seen=table.last_seen.at[tgt].max(jnp.where(obs, frame_idx, -1)),
+        valid=table.valid.at[tgt].max(obs),
+        origin_kf=table.origin_kf.at[tgt].add(
+            jnp.where(obs, new_origin - table.origin_kf[tgt], 0)
+        ),
+        # Fresh (recycled) slots start unprotected; .min with identity True
+        # for non-fresh rows (incl. the slot-0 aliases).
+        protected=table.protected.at[tgt].min(~(fresh & obs)),
+    )
+
+
 @jax.jit
 def apply_kf_corrections(table: LandmarkTable, C: jnp.ndarray, n_kf: jnp.ndarray):
     """Rigidly move every landmark with its origin local map's pose-graph

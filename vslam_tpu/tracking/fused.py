@@ -324,18 +324,17 @@ def _spawn_and_update(cam, params: FusedParams, state, cur):
         state.next_slot + jnp.maximum(n_needs - fc, 0), cap_lm
     ).astype(jnp.int32)
 
-    xyz_w = lie.transform_point_cloud(state.T_world_cam, cur.p_cam)
-    # New landmarks belong to the NEXT local map to be created (= kf_count):
-    # its window is exactly the frames since the last keyframe.
-    table = lm_mod.spawn_landmarks(
-        table, slot, xyz_w, cur.desc, state.frame_idx, origin_kf=state.kf_count
-    )
     cur = cur._replace(
         landmark_slot=jnp.where(slot >= 0, slot, cur.landmark_slot)
     )
-    table = lm_mod.update_observed(
+    # New landmarks belong to the NEXT local map to be created (= kf_count):
+    # its window is exactly the frames since the last keyframe.  Spawn +
+    # first/next observation update fused into ONE table pass (8 scatters
+    # instead of 13 — TPU scatters serialize per row).
+    table = lm_mod.spawn_and_update_observed(
         cam, table, state.T_world_cam,
-        cur.landmark_slot, cur.uv4, cur.desc, cur.valid, state.frame_idx,
+        cur.landmark_slot, slot >= 0, cur.p_cam, cur.uv4, cur.desc,
+        cur.valid, state.frame_idx, origin_kf=state.kf_count,
         mode=params.mode,
         min_forced_updates=params.lm_min_forced_updates,
         min_meas_for_opt=params.lm_min_meas_for_opt,
