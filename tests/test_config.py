@@ -48,3 +48,34 @@ def test_save_roundtrip(tmp_path):
     save_config(cfg, p)
     back = load_config(p)
     assert back.tracking.good_tracking_ratio == 0.42
+
+
+import os
+import pytest
+
+REF_CONFIG_DIR = "/root/reference/configurations"
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_CONFIG_DIR),
+                    reason="reference configs not present")
+@pytest.mark.parametrize("name", [
+    "configuration_kitti.yaml", "configuration_kitti_fast.yaml",
+    "configuration_euroc.yaml", "configuration_tum.yaml",
+    "configuration_icl.yaml", "configuration_xtion.yaml",
+])
+def test_reference_yaml_files_load(name):
+    """Config-compat claim, proven on the REFERENCE's own YAML files
+    (parameters.cpp:272-441 groups): every file loads, recognized keys
+    land in the right groups, unknown keys warn instead of raising."""
+    from vslam_tpu.io.config import load_config
+
+    cfg = load_config(os.path.join(REF_CONFIG_DIR, name))
+    # Spot checks: widely-present keys must transfer with real values.
+    assert cfg.local_map.minimum_number_of_landmarks > 0
+    assert cfg.command_line.tracker_mode in ("RGB_STEREO", "RGB_DEPTH")
+    assert cfg.world_map.minimum_distance_traveled_for_local_map > 0
+    if name.startswith("configuration_kitti"):
+        assert cfg.command_line.tracker_mode == "RGB_STEREO"
+    if name in ("configuration_tum.yaml", "configuration_icl.yaml",
+                "configuration_xtion.yaml"):
+        assert cfg.command_line.tracker_mode == "RGB_DEPTH"
