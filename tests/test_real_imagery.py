@@ -203,3 +203,45 @@ def test_bit_distance_distribution_vs_opencv():
         ours = np.median(rand_d) - np.median(match_d)
         cvs = np.median(cv_rand) - np.median(cv_match)
         assert ours >= 0.6 * cvs, (ours, cvs)
+
+
+def test_rotated_banks_survive_in_plane_rotation():
+    """BRIEF256R (rotated pattern banks + dense orientation map) matches a
+    real photo against a 35-degree-rotated copy where plain dense BRIEF
+    fails (EuRoC-class in-plane rotation robustness; reference ORB
+    steering, base_framepoint_generator.cpp:184-224)."""
+    img = load("stitch_image1_1.jpg")
+    h, w = img.shape
+    angle = 35.0
+    M = cv2.getRotationMatrix2D((w / 2, h / 2), angle, 1.0)
+    rot = cv2.warpAffine(img, M, (w, h)).astype(np.float32)
+
+    kp_a = detect.detect_keypoints(
+        jnp.asarray(img), jnp.float32(25.0), bin_size=12, capacity=512,
+        border=40,
+    )
+    va = np.asarray(kp_a.valid)
+    uv_a = np.asarray(kp_a.uv)
+    # True corresponding coordinates in the rotated image.
+    uv_b = (np.c_[uv_a, np.ones(len(uv_a))] @ M.T).astype(np.float32)
+    inb = (
+        va
+        & (uv_b[:, 0] > 40) & (uv_b[:, 0] < w - 40)
+        & (uv_b[:, 1] > 40) & (uv_b[:, 1] < h - 40)
+    )
+
+    def match_frac(describe):
+        d_a = np.asarray(describe(jnp.asarray(img), jnp.asarray(uv_a)))
+        d_b = np.asarray(describe(jnp.asarray(rot), jnp.asarray(uv_b)))
+        dist = np.asarray(
+            hamming.hamming_pairwise(jnp.asarray(d_a), jnp.asarray(d_b))
+        )[inb]
+        return float((dist <= 60).mean()), float(np.median(dist))
+
+    frac_r, med_r = match_frac(brief.describe_dense_rotated)
+    frac_p, med_p = match_frac(brief.describe_dense)
+    # Rotated banks keep a solid majority under the gate; plain BRIEF
+    # collapses to near-random distances.
+    assert frac_r >= 0.5, (frac_r, med_r)
+    assert med_r + 25 < med_p, (med_r, med_p)
+    assert frac_r >= frac_p + 0.25, (frac_r, frac_p)

@@ -112,6 +112,41 @@ def dense_bit_planes_pallas(
     return planes[:, :H, :W]
 
 
+@partial(jax.jit, static_argnames=("bank", "interpret"))
+def dense_bit_planes_pallas_pattern(
+    smooth: jnp.ndarray, bank: int, *, interpret: bool = False
+) -> jnp.ndarray:
+    """Like dense_bit_planes_pallas but with the ROTATED pattern of the
+    given bank (BRIEF256R banks, brief._ROT_PATS) — each bank compiles its
+    own kernel with its offsets as compile-time constants."""
+    from vslam_tpu.frontend.brief import _ROT_PATS
+
+    H, W = smooth.shape
+    Hb = _round_up(H, _BAND)
+    Wo = _round_up(W, _LANE)
+    Wi = _round_up(Wo + 2 * _R, _LANE)
+    Hi = _round_up(Hb + 2 * _R, 8)
+
+    padded = jnp.zeros((Hi, Wi), smooth.dtype)
+    padded = jax.lax.dynamic_update_slice(padded, smooth, (_R, _R))
+
+    n_bands = Hb // _BAND
+    kernel = _make_kernel(np.asarray(_ROT_PATS[bank]), _BAND, Wo)
+    planes = pl.pallas_call(
+        kernel,
+        grid=(n_bands,),
+        in_specs=[
+            pl.BlockSpec((Hi, Wi), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(
+            (8, _BAND, Wo), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((8, Hb, Wo), jnp.uint32),
+        interpret=interpret,
+    )(padded)
+    return planes[:, :H, :W]
+
+
 def _make_batch_kernel(pat: np.ndarray, n_band_rows: int, w_out: int):
     def kernel(img_ref, out_ref):
         i = pl.program_id(1)

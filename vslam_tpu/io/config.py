@@ -68,7 +68,7 @@ class FramepointGenerationParameters:
     detector_threshold_maximum: float = 100.0
     detector_threshold_maximum_change: float = 10.0
     detector_type: str = "FAST"
-    descriptor_type: str = "BRIEF256"
+    descriptor_type: str = "BRIEF256"  # BRIEF256 | BRIEF256R (oriented) | ORB256
     # Pyramid levels for detection+description (TPU-native analog of the
     # reference detectors' internal multi-scale behaviour — cv::ORB runs 8
     # levels, base_framepoint_generator.cpp:52-70).  1 = single scale.
@@ -182,6 +182,11 @@ class ParallelismParameters:
     mesh_axis_names: tuple = ("lm",)
     shard_landmarks: bool = True
     shard_descriptor_db: bool = True
+    # Frames per upload chunk / drain interval of the pipelined tracker
+    # (TPU path; CPU tests always run frame-exact with chunk 1).  Larger
+    # chunks amortize the per-drain tunnel round trip over more frames at
+    # the cost of keyframe-path latency.
+    frames_per_chunk: int = 16
 
 
 @dataclass

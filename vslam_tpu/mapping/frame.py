@@ -33,9 +33,12 @@ from vslam_tpu.frontend import brief, detect, matching, orb
 
 def _describe(img, uv, descriptor: str):
     """Descriptor dispatch: dense BRIEF (reference default, gather-free,
-    ~40x faster on TPU) or rotation-aware gather ORB."""
+    ~40x faster on TPU), dense rotated-bank BRIEF (orientation-aware), or
+    rotation-aware gather ORB."""
     if descriptor == "ORB256":
         return orb.describe(img, uv)
+    if descriptor == "BRIEF256R":
+        return brief.describe_dense_rotated(img, uv)
     return brief.describe_dense(img, uv)
 from vslam_tpu.ops import camera as cam_ops
 from vslam_tpu.ops import lie
@@ -158,6 +161,15 @@ def stereo_frontend_core(
     if descriptor == "ORB256":
         dl = _describe(img_l, kl.uv, descriptor)
         dr = _describe(img_r, kr.uv, descriptor)
+    elif descriptor == "BRIEF256R":
+        # Orientation-aware rotated-bank descriptors; landmark recovery
+        # re-describes from UNROTATED planes (its descriptor gate rejects
+        # candidates under heavy in-plane rotation — graceful, and exact
+        # in the upright-dominated case).
+        dl = brief.describe_dense_rotated(img_l, kl.uv)
+        dr = brief.describe_dense_rotated(img_r, kr.uv)
+        if want_planes:
+            planes = brief.dense_planes_pair(img_l, img_r)
     elif octaves > 1:
         dl, dr, planes = _pyramid_descriptors(img_l, img_r, kl, kr, capacity,
                                               octaves)
@@ -273,6 +285,10 @@ def process_depth_frame(
     planes = None
     if descriptor == "ORB256":
         desc = _describe(img, kp.uv, descriptor)
+    elif descriptor == "BRIEF256R":
+        desc = _describe(img, kp.uv, descriptor)
+        if want_planes:
+            planes = brief.dense_planes(img)
     elif octaves > 1:
         caps = detect.octave_capacities(capacity, octaves)
         parts = []

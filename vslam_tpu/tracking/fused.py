@@ -114,7 +114,7 @@ class FusedParams(NamedTuple):
     bin_size: int = 16
     border: int = 20
     mode: str = "stereo"  # stereo | depth
-    descriptor: str = "BRIEF256"  # BRIEF256 (dense) | ORB256 (rotated, gather)
+    descriptor: str = "BRIEF256"  # BRIEF256 (dense) | BRIEF256R (dense rotated banks) | ORB256 (gather)
     detector: str = "FAST"  # FAST | FAST12 | AGAST | HARRIS | GFTT
     # Pyramid levels for detection + description (cv::ORB-class
     # multi-scale, base_framepoint_generation.cpp:28-136); 1 = single scale.

@@ -529,8 +529,9 @@ class FusedPoseTracker:
         # the engine sees exact per-frame poses.  Over the TPU tunnel,
         # batch both directions (see compute()).
         on_cpu = jax.default_backend() == "cpu"
-        self.harvest_every = 1 if on_cpu else 16
-        self.chunk_size = 1 if on_cpu else 16
+        chunk = max(int(config.parallelism.frames_per_chunk), 1)
+        self.harvest_every = 1 if on_cpu else chunk
+        self.chunk_size = 1 if on_cpu else chunk
         self._buf: list[np.ndarray] = []
         self._odom_buf: list[np.ndarray] = []
         # Pre-staged device constants (avoids a tiny upload per step).
