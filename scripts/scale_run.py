@@ -53,6 +53,10 @@ def run_scale(
     cfg.relocalization.preliminary_minimum_matching_ratio = 0.08
     cfg.relocalization.icp_minimum_number_of_inliers = 10
     cfg.relocalization.icp_minimum_inlier_ratio = 0.3
+    # Snapshot row width: ~200-400 landmarks are live per keyframe at this
+    # cadence, and each 1024-wide row ships 64KB over a ~30MB/s tunnel at
+    # every drain — 512 halves the drain payload losslessly.
+    cfg.local_map.maximum_number_of_landmarks = 512
     cfg.graph_optimization.enable_full_bundle_adjustment = enable_ba
     cfg.graph_optimization.number_of_frames_per_bundle_adjustment = 128
 

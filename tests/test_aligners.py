@@ -2,6 +2,7 @@
 (the reference has no unit tests; this is the oracle strategy from
 SURVEY.md §4: recover known poses from projected points + noise/outliers)."""
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -175,3 +176,44 @@ def test_landmark_update_ignores_unobserved():
     xyz_new, H_new, _, inl = aligners.update_landmarks(CAM, xyz, H, jnp.eye(4), meas, mask)
     np.testing.assert_array_equal(np.asarray(xyz_new), np.asarray(xyz))
     assert not np.any(np.asarray(inl))
+
+
+def test_fast_stereo_aligner_matches_generic():
+    """stereo_uv_align_fast (analytic Jacobian, lean loops) must agree
+    with the generic autodiff engine on the same robust problem."""
+    rng = np.random.default_rng(2)
+    N = 512
+    p_prev = np.stack([rng.uniform(-4, 4, N), rng.uniform(-2, 2, N),
+                       rng.uniform(4, 25, N)], 1).astype(np.float32)
+    xi = np.array([0.05, -0.02, 0.3, 0.01, -0.02, 0.015], np.float32)
+    T_true = np.asarray(lie.exp_se3(jnp.asarray(xi)))
+    p_cur = (T_true[:3, :3] @ p_prev.T).T + T_true[:3, 3]
+    uv_l, uv_r, _ = cam_ops.project_stereo(CAM, jnp.asarray(p_cur))
+    meas = np.concatenate([np.asarray(uv_l), np.asarray(uv_r)], 1)
+    meas += rng.normal(0, 0.2, meas.shape).astype(np.float32)
+    out_idx = rng.choice(N, 40, replace=False)
+    meas[out_idx] += rng.normal(0, 40, (40, 4)).astype(np.float32)
+    mask = np.ones(N, bool)
+    mask[-30:] = False
+    data = aligners.StereoUVData(
+        p_prev=jnp.asarray(p_prev), meas=jnp.asarray(meas),
+        weight=jnp.ones(N, jnp.float32))
+    cfg = gn.GNConfig()
+    T0 = jnp.eye(4)
+
+    # Analytic Jacobian equals the autodiff Jacobian.
+    residual_fn, _ = aligners.make_stereo_uv_residual(CAM)
+    r_ad, J_ad = jax.vmap(residual_fn, in_axes=(None, 0))(T0, data)
+    r_an, J_an, _ = aligners._stereo_r_J_analytic(
+        CAM, data.p_prev, data.meas)
+    assert float(jnp.abs(r_ad - r_an).max()) < 1e-3
+    assert float(jnp.abs(J_ad - J_an).max()) < 1e-2
+
+    res_gen = aligners.stereo_uv_align(CAM, data, jnp.asarray(mask), T0, cfg)
+    res_fast = aligners.stereo_uv_align_fast(
+        CAM, data, jnp.asarray(mask), T0, cfg)
+    assert np.abs(np.asarray(res_fast.x) - T_true).max() < 2e-3
+    assert np.abs(
+        np.asarray(res_fast.x) - np.asarray(res_gen.x)
+    ).max() < 1e-4
+    assert abs(int(res_fast.num_inliers) - int(res_gen.num_inliers)) <= 5

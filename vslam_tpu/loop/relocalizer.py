@@ -344,10 +344,13 @@ class Relocalizer:
             for i in range(0, len(lms), interspace):
                 out.extend(self.submit_batch(lms[i : i + interspace]))
             return out
+        from vslam_tpu.utils import log
+
         S = len(lms)
         CAP = self.QUERY_CAP
         prefix = self._active_prefix()  # pre-insert rows (queries see these)
-        staged = [self._stage_chunk(lm) for lm in lms]
+        with log.measure("reloc_stage"):
+            staged = [self._stage_chunk(lm) for lm in lms]
         SB = 1 << max(S - 1, 0).bit_length()  # pad S to a compile bucket
         q = np.zeros((SB, CAP, 8), np.uint32)
         dest = np.full(SB * CAP, -1, np.int32)
@@ -359,13 +362,14 @@ class Relocalizer:
             dest[i * CAP + sel] = offset + np.arange(len(sel))
             row_mid[i * CAP + sel] = lm.map_id
             maxm[i] = lm.map_id - p.preliminary_minimum_interspace_queries
-        best, ok, self.db_desc, self.db_map_id = _query_and_insert_many(
-            jnp.asarray(q), jnp.asarray(dest), jnp.asarray(row_mid),
-            self.db_desc, self.db_map_id, jnp.asarray(maxm),
-            jnp.int32(p.maximum_descriptor_distance),
-            jnp.int32(p.minimum_second_best_margin),
-            prefix,
-        )
+        with log.measure("reloc_dispatch"):
+            best, ok, self.db_desc, self.db_map_id = _query_and_insert_many(
+                jnp.asarray(q), jnp.asarray(dest), jnp.asarray(row_mid),
+                self.db_desc, self.db_map_id, jnp.asarray(maxm),
+                jnp.int32(p.maximum_descriptor_distance),
+                jnp.int32(p.minimum_second_best_margin),
+                prefix,
+            )
         handles: list[QueryHandle | None] = []
         for i, (lm, (q_desc, fresh, nq, offset)) in enumerate(zip(lms, staged)):
             if maxm[i] < 0 or nq == 0:

@@ -379,7 +379,9 @@ def track_and_align(
         meas=cur.uv4[m.cur_idx],
         weight=weights,
     )
-    res = aligners.stereo_uv_align(cam, data, matched, T_guess, gn_config)
+    # Analytic-Jacobian solver: identical semantics to the generic
+    # stereo_uv_align (asserted in tests), ~5x cheaper per round on TPU.
+    res = aligners.stereo_uv_align_fast(cam, data, matched, T_guess, gn_config)
 
     prev_to_cur = jnp.where(matched, m.cur_idx, -1).astype(jnp.int32)
     return TrackResult(

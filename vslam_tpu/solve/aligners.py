@@ -108,6 +108,141 @@ def stereo_uv_align(
     )
 
 
+def _stereo_r_J_analytic(cam: cam_ops.CameraParams, p: jnp.ndarray,
+                         meas: jnp.ndarray):
+    """Closed-form stereo reprojection residual + Jacobian wrt the
+    left-multiplicative se(3) tangent [v, w] (reference analytic Jacobian,
+    stereouv_aligner.cpp:142-177).
+
+    p: (N, 3) points in the CURRENT camera frame; meas: (N, 4).
+    Returns (r (N,4), J (N,4,6), z (N,)).  The autodiff path
+    (_local_residual + jacfwd through exp_se3) is exact too but expands to
+    ~10x the op count — on TPU each GN round is op-issue-latency bound,
+    so the closed form is what makes the per-frame solve cheap.
+    """
+    x, y, z = p[..., 0], p[..., 1], p[..., 2]
+    zc = jnp.maximum(z, 1e-6)
+    zi = 1.0 / zc
+    u_l = cam.fx * x * zi + cam.cx
+    v_l = cam.fy * y * zi + cam.cy
+    u_r = cam.fx * (x - cam.baseline_m) * zi + cam.cx
+    r = jnp.stack([u_l, v_l, u_r, v_l], axis=-1) - meas
+    fxzi = cam.fx * zi
+    fyzi = cam.fy * zi
+    zero = jnp.zeros_like(x)
+    Jp = jnp.stack([
+        jnp.stack([fxzi, zero, -fxzi * x * zi], axis=-1),
+        jnp.stack([zero, fyzi, -fyzi * y * zi], axis=-1),
+        jnp.stack([fxzi, zero, -fxzi * (x - cam.baseline_m) * zi], axis=-1),
+        jnp.stack([zero, fyzi, -fyzi * y * zi], axis=-1),
+    ], axis=-2)  # (N, 4, 3)
+    # d r / d w = Jp @ d(w x p)/dw = -Jp @ skew(p); row-wise a@skew(p) =
+    # cross(a, p), so the rotation block is -cross(Jp_row, p).
+    Jw = -jnp.cross(Jp, p[..., None, :])
+    J = jnp.concatenate([Jp, Jw], axis=-1)  # (N, 4, 6)
+    return r, J, z
+
+
+@partial(jax.jit, static_argnames=("config",))
+def stereo_uv_align_fast(
+    cam: cam_ops.CameraParams,
+    data: StereoUVData,
+    mask: jnp.ndarray,
+    T0: jnp.ndarray,
+    config: gn.GNConfig = gn.GNConfig(),
+) -> gn.GNResult:
+    """Lean two-phase stereo pose solve with the analytic Jacobian.
+
+    Same semantics as stereo_uv_align (robust GN to convergence, then
+    inlier-only refinement with collapse rejection) but each round is a
+    handful of fused vector ops instead of a vmapped-autodiff expansion —
+    ~5x cheaper per round on TPU where round cost is op-issue bound.
+    """
+    p_prev, meas, weight = jax.lax.optimization_barrier(
+        (data.p_prev, data.meas, data.weight)
+    )
+    kernel = jnp.float32(config.kernel_max_error)
+
+    def linearize(T, extra_mask):
+        p = lie.transform_points(T, p_prev)
+        r, J, z = _stereo_r_J_analytic(cam, p, meas)
+        depth_w = jnp.clip(10.0 / jnp.maximum(z, 0.1), 0.2, 2.0)
+        omega = weight * depth_w  # scalar information per measurement
+        vis = mask & extra_mask & (z > 0.01)
+        chi2 = omega * jnp.sum(r * r, axis=-1)
+        w = jnp.where(chi2 > kernel, kernel / jnp.maximum(chi2, 1e-12), 1.0)
+        ow = jnp.where(vis, omega * w, 0.0)
+        H = jnp.einsum("nri,n,nrj->ij", J, ow, J)
+        b = jnp.einsum("nri,nr->i", J, ow[:, None] * r)
+        inliers = (chi2 <= kernel) & vis
+        total = jnp.sum(jnp.where(vis, chi2 * w, 0.0))
+        return H, b, total, inliers
+
+    def one_round(T, extra_mask):
+        H, b, total, inliers = linearize(T, extra_mask)
+        dx = gn.solve_normal_equations(
+            H, b, jnp.asarray(config.damping, H.dtype)
+        )
+        norm = jnp.linalg.norm(dx)
+        dx = dx * jnp.minimum(1.0, config.max_step_norm / jnp.maximum(norm, 1e-12))
+        T_new = gn.se3_retract(T, dx)
+        ok = jnp.all(jnp.isfinite(dx))
+        return jnp.where(ok, T_new, T), total, inliers, jnp.where(ok, norm, 0.0)
+
+    all_true = jnp.ones_like(mask)
+
+    def cond1(s):
+        T, prev_chi2, chi2, it, _, step = s
+        rel = jnp.abs(prev_chi2 - chi2) / jnp.maximum(chi2, 1e-12)
+        return (it < config.max_iterations) & (
+            (it < 2) | (rel > config.tolerance) | (step > config.step_tolerance)
+        )
+
+    def body1(s):
+        T, _, chi2, it, inl, _ = s
+        T2, new_chi2, inliers, step = one_round(T, all_true)
+        return (T2, chi2, new_chi2, it + 1, inliers, step)
+
+    init = (T0, jnp.float32(jnp.inf), jnp.float32(1e30), jnp.int32(0), mask,
+            jnp.float32(jnp.inf))
+    T, _, chi2, iters, inliers, _ = jax.lax.while_loop(cond1, body1, init)
+
+    def cond2(s):
+        _, prev_chi2, chi2, it, _, step = s
+        rel = jnp.abs(prev_chi2 - chi2) / jnp.maximum(chi2, 1e-12)
+        return (it < config.refine_iterations) & (
+            (it < 1) | (rel > config.tolerance) | (step > config.step_tolerance)
+        )
+
+    def body2(s):
+        T, _, chi2, it, inl, _ = s
+        T2, new_chi2, new_inl, step = one_round(T, inl)
+        keep = jnp.sum(new_inl) >= config.min_num_inliers
+        return (
+            jnp.where(keep, T2, T), chi2,
+            jnp.where(keep, new_chi2, chi2), it + 1,
+            jnp.where(keep, new_inl, inl), jnp.where(keep, step, 0.0),
+        )
+
+    T, _, _, _, inliers, _ = jax.lax.while_loop(
+        cond2, body2,
+        (T, jnp.float32(jnp.inf), chi2, jnp.int32(0), inliers,
+         jnp.float32(jnp.inf)),
+    )
+
+    _, _, final_chi2, final_inl = linearize(T, inliers)
+    num_inliers = jnp.sum(final_inl).astype(jnp.int32)
+    mean_chi2 = final_chi2 / jnp.maximum(num_inliers.astype(jnp.float32), 1.0)
+    return gn.GNResult(
+        x=T,
+        chi2=mean_chi2,
+        num_inliers=num_inliers,
+        num_iterations=iters,
+        inlier_mask=final_inl,
+        converged=num_inliers >= config.min_num_inliers,
+    )
+
+
 # ---------------------------------------------------------------------------
 # UVD aligner (RGB-D)
 # ---------------------------------------------------------------------------

@@ -41,6 +41,12 @@ from vslam_tpu.tracking.tracker import (
     PoseTracker,
 )
 
+@jax.jit
+def _remap_slots_device(slots, lut):
+    """Follow a landmark-slot remap LUT on device (-1 passes through)."""
+    return jnp.where(slots >= 0, lut[jnp.maximum(slots, 0)], slots)
+
+
 # Odometry edges spanning a tracking break carry ~no information: the
 # motion across the break is dead-reckoned (reference breakTrack re-roots
 # the map instead, world_map.cpp:260-279; a later closure reattaches it =
@@ -233,11 +239,12 @@ class SlamEngine:
                 closure = self.relocalizer.finish_icp(job, res)
                 if closure is not None:
                     closures.append(closure)
-            for h, (idx, ok) in zip(queries, fetched_q):
-                h.idx_dev, h.ok_dev = idx, ok
-                job = self.relocalizer.vote_and_dispatch_icp(h)
-                if job is not None:
-                    self._inflight_icp.append(job)
+            with log.measure("reloc_vote_icp"):
+                for h, (idx, ok) in zip(queries, fetched_q):
+                    h.idx_dev, h.ok_dev = idx, ok
+                    job = self.relocalizer.vote_and_dispatch_icp(h)
+                    if job is not None:
+                        self._inflight_icp.append(job)
         # Record + merge every closure, then optimize ONCE for the batch.
         for closure in closures:
             self._apply_closure(closure, optimize=False)
@@ -420,9 +427,12 @@ class SlamEngine:
             return out
 
         if tracker.prev_frame is not None:
+            # Remap ON DEVICE: np.asarray(landmark_slot) would be a
+            # blocking device->host fetch (~15-30 ms over the tunnel) in
+            # the middle of the closure path.
             tracker.prev_frame = tracker.prev_frame._replace(
-                landmark_slot=jnp.asarray(
-                    follow(tracker.prev_frame.landmark_slot)
+                landmark_slot=_remap_slots_device(
+                    tracker.prev_frame.landmark_slot, jnp.asarray(lut)
                 )
             )
         for m in self.world_map.local_maps:

@@ -132,6 +132,10 @@ class FusedParams(NamedTuple):
     min_track_for_landmark: int = 2
     min_inliers: int = 20
     min_inlier_ratio: float = 0.0  # registration gate (parameters.h:66-95)
+    # Retry-ladder depth (reference _registerRecursive <=2 retries,
+    # pose_tracker_3d.cpp:300-419).  1 disables retries (benchmarking /
+    # odometry-guided configs where the first attempt is reliable).
+    retry_attempts: int = 3
     enable_recovery: bool = True  # recoverPoints parity (stereo modes)
     max_recovery_gate: float = 50.0  # descriptor gate cap for recovery
     radius_min: float = 50.0
@@ -212,7 +216,7 @@ def gather_kf_rows(kf_pose, kf_frame_idx, kf_n, kf_slots, kf_xyz, kf_desc,
 
 
 # Speculative keyframe window shipped with every drain (see drain_bundle).
-KF_WINDOW = 16
+KF_WINDOW = 24
 
 
 @jax.jit
@@ -397,24 +401,29 @@ def _step_tail(cam, params: FusedParams, track_fn, state: TrackerState,
         jnp.where(appearance, jnp.eye(4), T_guess),
     )
     ok1 = accept(res1)
+    res = res1
 
-    def retry2(_):
-        return attempt(
-            jnp.minimum(2.0 * state.radius_px, params.radius_max),
-            jnp.minimum(state.desc_gate + 10.0, params.gate_max),
-            T_guess,
-        )
+    if params.retry_attempts >= 2:
+        def retry2(_):
+            return attempt(
+                jnp.minimum(2.0 * state.radius_px, params.radius_max),
+                jnp.minimum(state.desc_gate + 10.0, params.gate_max),
+                T_guess,
+            )
 
-    res2 = jax.lax.cond(ok1, lambda _: res1, retry2, None)
-    ok2 = accept(res2)
+        res2 = jax.lax.cond(ok1, lambda _: res1, retry2, None)
+        ok2 = accept(res2)
+        res = res2
 
-    def retry3(_):
-        return attempt(
-            jnp.float32(params.radius_max), jnp.float32(params.gate_max),
-            jnp.eye(4),
-        )
+    if params.retry_attempts >= 3:
+        def retry3(_):
+            return attempt(
+                jnp.float32(params.radius_max), jnp.float32(params.gate_max),
+                jnp.eye(4),
+            )
 
-    res = jax.lax.cond(ok2, lambda _: res2, retry3, None)
+        res = jax.lax.cond(ok2, lambda _: res2, retry3, None)
+
     ok = accept(res) & state.has_prev
 
     motion = jnp.where(ok, res.T_cur_prev, T_guess)

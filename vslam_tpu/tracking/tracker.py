@@ -475,6 +475,8 @@ class FusedPoseTracker:
             # unprotected landmark slots.
             enable_eviction=config.command_line.option_drop_framepoints,
             bilateral_depth=fp.enable_bilateral_filtering,
+            # Result ring must cover at least two drain intervals.
+            ring_size=max(64, 2 * int(config.parallelism.frames_per_chunk)),
             threshold_min=fp.detector_threshold_minimum,
             threshold_max=fp.detector_threshold_maximum,
             threshold_max_change=fp.detector_threshold_maximum_change,
@@ -699,7 +701,13 @@ class FusedPoseTracker:
     def _dispatch_bundle(self):
         """Enqueue the drain-bundle gather program for everything
         dispatched so far (runs on device right after the in-flight
-        steps; fetched on a later call)."""
+        steps; fetched on a later call).
+
+        The fetch stays SYNCHRONOUS at drain time: on the axon tunnel a
+        device_get issued from a background thread while the main thread
+        keeps dispatching degrades catastrophically (measured 13+ s for a
+        0.5 MB transfer vs ~40 ms synchronous), so the per-drain round
+        trip is amortized by chunk size and payload instead."""
         from vslam_tpu.tracking import fused
 
         KR = self.params.kf_ring_size
@@ -821,27 +829,28 @@ class FusedPoseTracker:
         steps.  With bundle=None a fresh bundle over everything dispatched
         is made and fetched synchronously (flush / CPU path)."""
         from vslam_tpu.tracking import fused
+        from vslam_tpu.utils import log as _log
 
         if bundle is None:
             self._dispatch_bundle()
             bundle, upto = self._bundle, self._bundle_count
             self._bundle = None
+        # One blocking transfer carries the bundle AND the engine's armed
+        # extras (closure query/ICP results) — a single tunnel round trip.
+        with _log.measure("drain_fetch"):
+            if self._pending_extra is not None:
+                data, self._fetched_extra = jax.device_get(
+                    (bundle, self._pending_extra)
+                )
+                self._pending_extra = None
+            else:
+                data = jax.device_get(bundle)
         if upto == self._harvested:
             return
         assert upto - self._harvested <= self.params.ring_size
-        # Piggyback externally-registered device arrays (the engine's
-        # in-flight closure query/ICP results) on this drain's transfer:
-        # ONE tunnel round trip instead of a separate ~15-30 ms device_get
-        # per resolve (see engine._resolve_inflight).
-        if self._pending_extra is not None:
-            bundle, self._fetched_extra = jax.device_get(
-                (bundle, self._pending_extra)
-            )
-            self._pending_extra = None
-        else:
-            bundle = jax.device_get(bundle)
-        ring = np.asarray(bundle[0])
-        self._kf_bundle = bundle[1:]
+        ring = np.asarray(data[0])
+        self._kf_bundle = data[1:]
+        _t_parse = time.perf_counter()
         s = self.stats
         kf_total = self._kf_harvested
         for fi in range(self._harvested, upto):
@@ -866,8 +875,10 @@ class FusedPoseTracker:
                 TRACKING if row[fused._R_STATUS] > 0.0 else LOCALIZING
             )
             kf_total = int(row[fused._R_KFCOUNT])
+        _log.chronometers.add("drain_parse", time.perf_counter() - _t_parse)
         if kf_total > self._kf_harvested:
-            self._harvest_keyframes(kf_total)
+            with _log.measure("drain_harvest_kf"):
+                self._harvest_keyframes(kf_total)
         self._kf_bundle = None  # tied to this drain's kf_start
         self._harvested = upto
         # Corrections older than everything still unharvested are spent.
