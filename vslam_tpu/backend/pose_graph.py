@@ -290,7 +290,17 @@ def optimize_pose_graph_chain(
         Zsum = jnp.einsum("cp,pdik->cdik", sm, Z)  # (C, C, 6, 6)
         RZ = jnp.einsum("cri,cdik->crdk", RJ, Zsum).reshape(C * 6, C * 6)
         M = jnp.eye(C * 6, dtype=poses.dtype) + RZ
-        lam = _pcg_spd(M, Ry, iterations=min(6 * C, 192))
+        # The capacitance system's conditioning grows with closure count
+        # and interval length (M ~ I + R T^-1 R^T with x10 closure weights
+        # over ~100-keyframe intervals); an under-converged iterative
+        # solve here CORRUPTS the GN step and the whole trajectory, so
+        # moderate sizes use the exact factorization and only very large
+        # closure sets fall back to PCG.
+        if C * 6 <= 1536:
+            L = jax.scipy.linalg.cho_factor(M, lower=True)
+            lam = jax.scipy.linalg.cho_solve(L, Ry)
+        else:
+            lam = _pcg_spd(M, Ry, iterations=min(6 * C, 384))
         u = -(y - jnp.einsum("pcik,ck->pi", Z, lam.reshape(C, 6)))
         dx = jnp.cumsum(u, axis=0)  # prefix-sum back to pose space
 

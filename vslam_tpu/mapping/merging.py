@@ -48,6 +48,11 @@ def _apply_merges(table: lm_mod.LandmarkTable, src: jnp.ndarray, dst: jnp.ndarra
     """
     s = jnp.where(use, src, 0)
     d = jnp.where(use, dst, 0)
+    # Validity gate: a correspondence whose slot was recycled by the
+    # eviction sweep since the snapshot is stale — merging it would corrupt
+    # an unrelated landmark.  Gating here makes protected-slot eviction
+    # safe on long runs.
+    use = use & table.valid[s] & table.valid[d]
     w_src = table.n_updates[s].astype(jnp.float32)
     w_dst = table.n_updates[d].astype(jnp.float32)
     tot = jnp.maximum(w_src + w_dst, 1.0)

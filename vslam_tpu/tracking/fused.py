@@ -171,6 +171,13 @@ class FusedParams(NamedTuple):
     evict_every: int = 32  # frames between eviction sweeps
     evict_age_frames: int = 120  # unseen for this long -> candidate
     evict_max_updates: int = 3  # only low-quality (few-observation) slots
+    # PROTECTED (local-map-referenced) slots also recycle once unseen this
+    # long — permanent protection starves the allocator on long runs (the
+    # table saturates and tracking degrades); closure merges are
+    # validity-gated so a stale correspondence into a recycled slot is a
+    # no-op (reference frees whole old frames under option_drop_framepoints,
+    # slam_assembly.cpp:591-618).
+    evict_protected_age_frames: int = 600
     free_list_size: int = 16384
     gn_config: gn.GNConfig = gn.GNConfig()
 
@@ -542,13 +549,15 @@ def _step_tail(cam, params: FusedParams, track_fn, state: TrackerState,
                 .at[jnp.maximum(cur.landmark_slot, 0)]
                 .max(cur.landmark_slot >= 0)
             )
-            cand = (
-                table_.valid
-                & ~table_.protected
-                & ~referenced
+            cand_unprot = (
+                ~table_.protected
                 & (age > params.evict_age_frames)
                 & (table_.n_updates <= params.evict_max_updates)
             )
+            cand_prot = table_.protected & (
+                age > params.evict_protected_age_frames
+            )
+            cand = table_.valid & ~referenced & (cand_unprot | cand_prot)
             rank = jnp.cumsum(cand.astype(jnp.int32)) - 1
             dest = free_count_ + rank
             push = cand & (dest < F)
@@ -558,7 +567,10 @@ def _step_tail(cam, params: FusedParams, track_fn, state: TrackerState,
                 jnp.where(push, ids - free_list_[tgt], 0)
             )
             free_count_ = free_count_ + jnp.sum(push).astype(jnp.int32)
-            table_ = table_._replace(valid=table_.valid & ~push)
+            table_ = table_._replace(
+                valid=table_.valid & ~push,
+                protected=table_.protected & ~push,
+            )
             return table_, free_list_, free_count_
 
         do_sweep = (state.frame_idx % params.evict_every) == (
