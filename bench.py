@@ -33,27 +33,28 @@ def make_engine(cam, cfg, capacity=65536):
 
 
 def warm_pose_graph_buckets():
-    """Pre-compile the chain pose-graph optimizer at its power-of-two
-    bucket sizes so first-closure compile time stays out of the timed
+    """Pre-compile the hierarchical pose-graph path (dense junction solver
+    + interior distribution) at the power-of-two bucket sizes the timed
+    run can hit, so first-closure compile time stays out of the timed
     loop."""
-    import jax.numpy as jnp
+    import numpy as np
 
     from vslam_tpu.backend import pose_graph as pg
 
-    for P in (8, 16, 32, 64, 128):
-        graph = pg.ChainPoseGraph(
-            poses=jnp.tile(jnp.eye(4), (P, 1, 1)),
-            odo_T=jnp.tile(jnp.eye(4), (P, 1, 1)),
-            odo_weight=jnp.ones(P, jnp.float32),
-            odo_valid=jnp.arange(P) < P - 1,
-            clo_i=jnp.zeros(8, jnp.int32),
-            clo_j=jnp.ones(8, jnp.int32),
-            clo_T=jnp.tile(jnp.eye(4), (8, 1, 1)),
-            clo_weight=jnp.ones(8, jnp.float32),
-            clo_valid=jnp.ones(8, bool),
-            pose_valid=jnp.ones(P, bool),
+    for P in (16, 32, 64, 128):
+        poses = np.tile(np.eye(4, dtype=np.float32), (P, 1, 1))
+        poses[:, 0, 3] = np.arange(P)
+        odo = np.tile(np.eye(4, dtype=np.float32), (P - 1, 1, 1))
+        odo[:, 0, 3] = 1.0
+        # Spread closures so the junction count exercises the same
+        # (Jp, Ep) buckets the timed run reaches.
+        closures = [
+            (i, min(i + P // 2, P - 1), np.eye(4, dtype=np.float32))
+            for i in range(0, P // 2, 4)
+        ]
+        pg.optimize_pose_graph_hierarchical(
+            poses, odo, np.ones(P - 1, np.float32), closures, iterations=10
         )
-        pg.optimize_pose_graph_chain(graph, iterations=10)[0].block_until_ready()
 
 
 def main():

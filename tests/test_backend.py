@@ -314,3 +314,92 @@ def test_chain_solver_scales_linearly():
     # And the P=512 solve itself stays fast in absolute terms (done
     # criterion: closure at P=500 under 50 ms on TPU; CPU gets slack).
     assert t512 < 2.0, t512
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical junction solver (round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_edge_jacobian_closed_form_matches_autodiff():
+    """The adjoint-based closed-form edge Jacobians equal jacfwd through
+    log∘exp (VERDICT r3 #1a)."""
+    poses = []
+    for k in range(6):
+        xi = (RNG.standard_normal(6) * np.array([5, 5, 5, 0.3, 0.3, 0.3])).astype(np.float32)
+        poses.append(np.asarray(lie.exp_se3(jnp.asarray(xi))))
+    poses = jnp.asarray(np.stack(poses))
+    for (i, j) in [(0, 1), (2, 5), (4, 3)]:
+        T_ij = lie.exp_se3(jnp.asarray((RNG.standard_normal(6) * 0.4).astype(np.float32)))
+        r1, Ji1, Jj1 = pg._edge_residual_jac(poses, jnp.int32(i), jnp.int32(j), T_ij)
+        r2, Ji2, Jj2 = pg._edge_residual_jac_ad(poses, jnp.int32(i), jnp.int32(j), T_ij)
+        scale = max(float(jnp.abs(Jj2).max()), 1.0)
+        assert float(jnp.abs(r1 - r2).max()) < 1e-5
+        assert float(jnp.abs(Ji1 - Ji2).max()) / scale < 1e-4
+        assert float(jnp.abs(Jj1 - Jj2).max()) / scale < 1e-4
+
+
+def _drifted_multilap(P=200, laps=2.2, radius=40.0, n_clo=80, seed=5):
+    """Multi-lap circle with systematic odometric drift + GT closures —
+    the KITTI-00-scale regime that defeated the r3 chain solver."""
+    rng = np.random.default_rng(seed)
+    angles = np.linspace(0, 2 * np.pi * laps, P)
+    gt = np.tile(np.eye(4, dtype=np.float32), (P, 1, 1))
+    for k, a in enumerate(angles):
+        c, s = np.cos(a), np.sin(a)
+        gt[k, :3, :3] = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+        gt[k, :3, 3] = [radius * np.cos(a), 0.0, radius * np.sin(a)]
+    odo = np.zeros((P - 1, 4, 4), np.float32)
+    est = np.tile(np.eye(4, dtype=np.float32), (P, 1, 1))
+    est[0] = gt[0]
+    for k in range(P - 1):
+        T_rel = np.linalg.inv(gt[k]) @ gt[k + 1]
+        xi = np.zeros(6, np.float32)
+        xi[:3] = 2e-3 * (1 + 0.1 * rng.standard_normal(3))
+        xi[4] = 1e-3 * (1 + 0.1 * rng.standard_normal())
+        odo[k] = T_rel @ np.asarray(lie.exp_se3(jnp.asarray(xi)))
+        est[k + 1] = est[k] @ odo[k]
+    per_lap = int(P / laps)
+    clo = []
+    if n_clo > 0:
+        for j in range(per_lap + 3, P, max(1, (P - per_lap) // n_clo)):
+            clo.append((j - per_lap, j, np.linalg.inv(gt[j - per_lap]) @ gt[j]))
+    return gt, est, odo, clo[:n_clo]
+
+
+def test_hierarchical_solver_recovers_scale_drift():
+    """The production back-end path must FIX large accumulated drift —
+    the r3 chain solver diverged here (14.5 m scale-run ATE, VERDICT r3
+    #2); target: residual RMSE well under 10%% of the drift."""
+    gt, est, odo, clo = _drifted_multilap()
+    drift = np.linalg.norm(est[:, :3, 3] - gt[:, :3, 3], axis=1)
+    rmse_before = np.sqrt((drift**2).mean())
+    assert rmse_before > 2.0  # the problem is genuinely hard
+    opt, chi2 = pg.optimize_pose_graph_hierarchical(
+        est, odo, np.ones(len(est) - 1, np.float32), clo
+    )
+    err = np.linalg.norm(opt[:, :3, 3] - gt[:, :3, 3], axis=1)
+    rmse_after = np.sqrt((err**2).mean())
+    assert rmse_after < 0.1 * rmse_before
+    assert rmse_after < 1.0
+    assert chi2 < 1.0
+
+
+def test_compact_closures():
+    clo = [(0, 100, np.eye(4)), (1, 101, np.eye(4) * 2), (0, 104, np.eye(4)),
+           (40, 140, np.eye(4)), (41, 141, np.eye(4))]
+    cc = pg.compact_closures(clo, bucket=4)
+    # (0,100),(1,101) share cell (0,25) -> newest kept; (0,104) is cell
+    # (0,26); (40,140),(41,141) share cell (10,35).
+    cells = {(i // 4, j // 4) for i, j, _ in cc}
+    assert len(cc) == len(cells) == 3
+    # newest-wins within a cell
+    assert any(i == 1 and j == 101 for i, j, _ in cc)
+
+
+def test_hierarchical_noop_without_closures():
+    gt, est, odo, _ = _drifted_multilap(P=40, n_clo=0)
+    opt, chi2 = pg.optimize_pose_graph_hierarchical(
+        est, odo, np.ones(len(est) - 1, np.float32), []
+    )
+    np.testing.assert_allclose(opt, est)

@@ -103,3 +103,36 @@ def test_rotation_angle():
         w = np.array([0.0, ang, 0.0], np.float32)
         R = lie.exp_so3(jnp.asarray(w))
         assert abs(float(lie.rotation_angle(R)) - ang) < 1e-4
+
+
+def test_adjoint_identity():
+    """T exp(xi) T^-1 == exp(Ad_T xi) — large translation lever arm."""
+    T = np.eye(4, dtype=np.float32)
+    T[:3, :3] = np.asarray(lie.exp_so3(jnp.asarray([0.3, -0.2, 0.5], jnp.float32)))
+    T[:3, 3] = [10.0, -5.0, 65.0]
+    for scale in (0.01, 0.2):
+        xi = jnp.asarray((RNG.standard_normal(6) * scale).astype(np.float32))
+        lhs = jnp.asarray(T) @ lie.exp_se3(xi) @ lie.inverse(jnp.asarray(T))
+        rhs = lie.exp_se3(lie.adjoint_se3(jnp.asarray(T)) @ xi)
+        assert float(jnp.abs(lhs - rhs).max()) < 1e-4
+
+
+def test_jl_inv_se3_matches_autodiff():
+    """Closed-form inverse left Jacobian == jacfwd of log(exp(d) exp(xi))
+    across the whole usable rotation range (the pose-graph edge
+    linearization, backend/pose_graph.py)."""
+    import jax
+
+    for scale in (1e-3, 0.1, 1.0, 2.5):
+        for trial in range(3):
+            xi_np = (RNG.standard_normal(6) * scale).astype(np.float32)
+            if np.linalg.norm(xi_np[3:]) > np.pi - 0.1:
+                xi_np[3:] *= (np.pi - 0.2) / np.linalg.norm(xi_np[3:])
+            xi = jnp.asarray(xi_np)
+
+            def f(d):
+                return lie.log_se3(lie.exp_se3(d) @ lie.exp_se3(xi))
+
+            J_num = jax.jacfwd(f)(jnp.zeros(6, jnp.float32))
+            J_cf = lie.jl_inv_se3(xi)
+            assert float(jnp.abs(J_num - J_cf).max()) < 2e-4, (scale, trial)

@@ -165,6 +165,17 @@ class GraphOptimizationParameters:
     enable_robust_kernel_for_landmarks: bool = True
     # Landmark vertex id offset in g2o exports (reference parameters.h:362).
     identifier_space: int = 1_000_000_000
+    # TPU-native additions (no reference counterpart — the reference
+    # re-optimizes on every relocalized frame, slam_assembly.cpp:576-579;
+    # at KITTI-00 scale closures fire on most keyframes and already-
+    # satisfied ones carry no new information):
+    # skip the optimization when every pending closure edge agrees with
+    # the current estimate within these bounds.
+    minimum_closure_residual_for_optimization_meters: float = 0.10
+    minimum_closure_residual_for_optimization_degrees: float = 0.5
+    # Closure-edge compaction cell for the hierarchical solver: one edge
+    # kept per (ref//b, query//b) neighborhood (backend/pose_graph.py).
+    closure_compaction_bucket: int = 4
 
 
 @dataclass

@@ -245,10 +245,17 @@ class SlamEngine:
                     job = self.relocalizer.vote_and_dispatch_icp(h)
                     if job is not None:
                         self._inflight_icp.append(job)
-        # Record + merge every closure, then optimize ONCE for the batch.
+        # Record + merge every closure, then optimize ONCE for the batch —
+        # and only when some closure actually disagrees with the current
+        # estimate (residual gate; already-satisfied closures carry no new
+        # information and re-optimizing the graph for them is pure cost).
+        new_edges = []
         for closure in closures:
             self._apply_closure(closure, optimize=False)
-        if closures:
+            new_edges.append(
+                (closure.reference_id, closure.query_id, closure.T_ref_query)
+            )
+        if closures and self._closures_need_optimization(new_edges):
             with log.measure("pose_graph_optimization"):
                 self._optimize_pose_graph()
 
@@ -361,7 +368,7 @@ class SlamEngine:
         else:
             self.closure_edges.append(edge)
         correction = None
-        if optimize:
+        if optimize and self._closures_need_optimization([edge]):
             with log.measure("pose_graph_optimization"):
                 correction = self._optimize_pose_graph()
 
@@ -440,6 +447,28 @@ class SlamEngine:
         self.relocalizer.apply_remap(remap, lut=lut)
 
     # ------------------------------------------------------------------
+    def _closures_need_optimization(self, new_edges) -> bool:
+        """Residual gate (TPU-native addition, see config): optimize only
+        when some pending closure disagrees with the current estimate —
+        at KITTI-00 scale closures fire on most keyframes, and after the
+        first correction the rest are already satisfied."""
+        gopt = self.cfg.graph_optimization
+        gate_t = gopt.minimum_closure_residual_for_optimization_meters
+        gate_r = np.deg2rad(
+            gopt.minimum_closure_residual_for_optimization_degrees
+        )
+        if gate_t <= 0.0:
+            return True
+        for (i, j, T_ij) in new_edges:
+            E = np.linalg.inv(T_ij) @ (
+                np.linalg.inv(self.kf_poses[i]) @ self.kf_poses[j]
+            )
+            t_err = float(np.linalg.norm(E[:3, 3]))
+            c = np.clip((np.trace(E[:3, :3]) - 1.0) * 0.5, -1.0, 1.0)
+            if t_err > gate_t or float(np.arccos(c)) > gate_r:
+                return True
+        return False
+
     def _optimize_pose_graph(self) -> np.ndarray | None:
         """Optimize keyframe poses; rigidly back-propagate per-keyframe
         corrections into the landmark table (by origin local map), the
@@ -447,60 +476,29 @@ class SlamEngine:
         pose (reference optimizePoseGraph back-propagation,
         graph_optimizer.cpp:411-457 + local_map.cpp:129-142).
 
+        Uses the hierarchical junction solver (backend/pose_graph.py):
+        compacted closures -> junction reduction -> dense GN -> geodesic
+        interior distribution.  O(J^3 + P) per call vs the r3 chain path's
+        f32-fragile O(P*C) Woodbury (1.45 s/call and divergent at 341
+        keyframes — VERDICT r3 #1/#2).
+
         Returns the last-segment correction, or None if no optimization ran.
         """
         n = len(self.kf_poses)
-        if n < 3:
+        if n < 3 or not self.closure_edges:
             return None
-
-        # Chain-structured problem (odometry edges ARE consecutive) for the
-        # O(P*C) increment-space solver — pad poses/closures to
-        # power-of-two buckets so the optimizer compiles once per bucket
-        # instead of once per keyframe count.
-        def pow2(x):
-            return 1 << max(int(np.ceil(np.log2(max(x, 1)))), 3)
-
-        P_pad = pow2(n)
-        nc = len(self.closure_edges)
-        C_pad = pow2(max(nc, 1))
-        poses_arr = np.tile(np.eye(4, dtype=np.float32), (P_pad, 1, 1))
-        poses_arr[:n] = np.stack(self.kf_poses).astype(np.float32)
-        odo_T = np.tile(np.eye(4, dtype=np.float32), (P_pad, 1, 1))
-        odo_T[: n - 1] = np.stack(self.kf_odometry).astype(np.float32)
-        odo_w = np.zeros(P_pad, np.float32)
-        odo_w[: n - 1] = self.kf_odom_weight
-        clo_i = np.zeros(C_pad, np.int32)
-        clo_j = np.zeros(C_pad, np.int32)
-        clo_T = np.tile(np.eye(4, dtype=np.float32), (C_pad, 1, 1))
-        clo_w = np.zeros(C_pad, np.float32)
-        for c, (i, j, T_ij) in enumerate(self.closure_edges):
-            clo_i[c] = i
-            clo_j[c] = j
-            clo_T[c] = T_ij
-            clo_w[c] = 10.0  # closure edges x10 (graph_optimizer.cpp:301)
-
-        graph = pg.ChainPoseGraph(
-            poses=jnp.asarray(poses_arr),
-            odo_T=jnp.asarray(odo_T),
-            odo_weight=jnp.asarray(odo_w),
-            odo_valid=jnp.asarray(np.arange(P_pad) < n - 1),
-            clo_i=jnp.asarray(clo_i),
-            clo_j=jnp.asarray(clo_j),
-            clo_T=jnp.asarray(clo_T),
-            clo_weight=jnp.asarray(clo_w),
-            clo_valid=jnp.asarray(np.arange(C_pad) < nc),
-            pose_valid=jnp.asarray(np.arange(P_pad) < n),
-        )
         gopt = self.cfg.graph_optimization
-        opt, _ = pg.optimize_pose_graph_chain(
-            graph,
+        opt, _ = pg.optimize_pose_graph_hierarchical(
+            np.stack(self.kf_poses).astype(np.float32),
+            np.stack(self.kf_odometry).astype(np.float32),
+            np.asarray(self.kf_odom_weight, np.float32),
+            self.closure_edges,
             iterations=gopt.maximum_number_of_iterations,
             robust_kernel_chi2=(
                 1.0 if gopt.enable_robust_kernel_for_poses else 1e12
             ),
-            levenberg=gopt.optimization_algorithm.upper() == "LEVENBERG",
+            closure_bucket=gopt.closure_compaction_bucket,
         )
-        opt = np.asarray(opt)[:n]
         C_last = self._propagate_corrections(opt)
         self.n_optimizations += 1
         return C_last
