@@ -79,3 +79,83 @@ def test_reference_yaml_files_load(name):
     if name in ("configuration_tum.yaml", "configuration_icl.yaml",
                 "configuration_xtion.yaml"):
         assert cfg.command_line.tracker_mode == "RGB_DEPTH"
+
+
+def test_no_dead_config_keys():
+    """Every ParameterCollection leaf key must be read somewhere outside
+    io/config.py (VERDICT r3 #7), except keys explicitly documented as
+    accepted-but-ignored (dead in the reference too, or GUI non-goals)."""
+    import dataclasses
+    import pathlib
+
+    from vslam_tpu.io import config as cfg_mod
+
+    # Parsed for reference-YAML compat, intentionally unread (each carries
+    # a documented rationale in io/config.py or README):
+    documented_ignored = {
+        "range_point_tracking",  # dead in the reference too
+        # Live Qt/OpenGL viewers are a documented non-goal (reference
+        # README.md:7 — real-time display is no constraint); the file-dump
+        # equivalent is visualization.enable_image_dump.
+        "option_use_gui",
+        "option_show_top_viewer",
+    }
+    root = pathlib.Path(cfg_mod.__file__).resolve().parents[1]
+    src = "".join(
+        p.read_text()
+        for p in root.rglob("*.py")
+        if p.name != "config.py"
+    )
+    cfg = cfg_mod.ParameterCollection()
+    missing = []
+    for f in dataclasses.fields(cfg):
+        for g in dataclasses.fields(getattr(cfg, f.name)):
+            if g.name in documented_ignored:
+                continue
+            if g.name not in src:
+                missing.append(f"{f.name}.{g.name}")
+    assert not missing, f"dead config keys: {missing}"
+
+
+def test_validation_rejects_bad_values():
+    import pytest
+
+    from vslam_tpu.io.config import ParameterCollection
+
+    cfg = ParameterCollection()
+    cfg.validate()  # defaults are valid
+    cfg.command_line.tracker_mode = "MONO"
+    with pytest.raises(ValueError, match="tracker_mode"):
+        cfg.validate()
+    cfg = ParameterCollection()
+    cfg.framepoint_generation.capacity = 1000  # not a power of two
+    with pytest.raises(ValueError, match="capacity"):
+        cfg.validate()
+    cfg = ParameterCollection()
+    cfg.framepoint_generation.detector_threshold_minimum = 120.0
+    with pytest.raises(ValueError, match="detector_threshold"):
+        cfg.validate()
+    cfg = ParameterCollection()
+    cfg.relocalization.icp_minimum_inlier_ratio = 1.5
+    with pytest.raises(ValueError, match="icp_minimum_inlier_ratio"):
+        cfg.validate()
+
+
+def test_depth_scale_alias_and_explicit_keys(tmp_path):
+    from vslam_tpu.io.config import load_config
+
+    p = tmp_path / "c.yaml"
+    p.write_text(
+        "depth_framepoint_generation:\n"
+        "  depth_scale_factor: 0.0002\n"
+        "tracking:\n"
+        "  motion_model: NONE\n"
+    )
+    cfg = load_config(str(p))
+    assert cfg.framepoint_generation.depth_scale_factor_intensity_to_meters == 0.0002
+    assert (
+        "framepoint_generation.depth_scale_factor_intensity_to_meters"
+        in cfg.explicit_keys
+    )
+    assert "tracking.motion_model" in cfg.explicit_keys
+    assert "tracking.good_tracking_ratio" not in cfg.explicit_keys

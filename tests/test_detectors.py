@@ -76,3 +76,45 @@ def test_tracker_runs_with_harris(image):
     rmse, _, _ = traj_eval.ate_rmse(est, world2.poses)
     assert tracker.stats.n_breaks == 0
     assert rmse < 0.1, rmse
+
+
+def test_dog_oracle_blobs():
+    """DoG finds bright AND dark blobs at their centers, not edges."""
+    img = np.full((96, 96), 128.0, np.float32)
+    yy, xx = np.mgrid[0:96, 0:96]
+    # bright and dark blobs of sigma ~2 (inside the intra-octave scale
+    # ladder; larger blob scales are covered by pyramid octaves)
+    img += 120.0 * np.exp(-((yy - 24) ** 2 + (xx - 24) ** 2) / (2 * 2.0**2))
+    img -= 110.0 * np.exp(-((yy - 70) ** 2 + (xx - 60) ** 2) / (2 * 2.0**2))
+    s = np.asarray(detect.dog_score_map(jnp.asarray(img), jnp.float32(5.0)))
+    # peak response within 3 px of each blob center
+    assert s[21:28, 21:28].max() > 0.0
+    assert s[67:74, 57:64].max() > 0.0
+    # a pure step edge must not fire
+    edge = np.zeros((96, 96), np.float32)
+    edge[:, 48:] = 255.0
+    se = np.asarray(detect.dog_score_map(jnp.asarray(edge), jnp.float32(5.0)))
+    assert se[10:86, 40:56].max() == 0.0 or (
+        se[10:86, 40:56].max() < s[21:28, 21:28].max() * 0.5
+    )
+
+
+def test_tracker_runs_with_dog(image):
+    """Full tracking loop with the SIFT-class scale-space detector."""
+    from vslam_tpu.tracking.tracker import PoseTracker
+    from vslam_tpu.eval import trajectory as traj_eval
+
+    cfg = ParameterCollection()
+    cfg.framepoint_generation.capacity = 512
+    cfg.framepoint_generation.bin_size_pixels = 12
+    cfg.framepoint_generation.detector_type = "DOG"
+    cfg.framepoint_generation.detector_threshold_starting_value = 8.0
+    tracker = PoseTracker(CAM, cfg, landmark_capacity=8192)
+    world2 = synthetic.make_world(CAM, n_frames=8, n_points=2000, seed=6, step=0.3)
+    for t in range(8):
+        l, r, _ = synthetic.render_frame(world2, t)
+        tracker.compute(l, r)
+    est = np.stack(tracker.trajectory)
+    rmse, _, _ = traj_eval.ate_rmse(est, world2.poses)
+    assert tracker.stats.n_breaks == 0
+    assert rmse < 0.15, rmse

@@ -77,18 +77,26 @@ def _edge_residual_jac_ad(poses, i, j, T_ij):
     return r, Ji, Jj
 
 
-@partial(jax.jit, static_argnames=("iterations",))
+@partial(jax.jit, static_argnames=("iterations", "levenberg"))
 def optimize_pose_graph(
     graph: PoseGraph,
     iterations: int = 10,
     damping: float = 1e-3,
     robust_kernel_chi2: float = 1.0,
     anchor_weight: float = 1e6,
+    levenberg: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Run damped GN; returns (optimized poses (P,4,4), final chi2)."""
+    """Run damped GN; returns (optimized poses (P,4,4), final chi2).
+
+    levenberg=True adapts the damping per iteration (halve after an
+    improving step, quadruple otherwise) — the reference's LEVENBERG
+    optimization_algorithm option (graph_optimizer.cpp:40-150; its DOGLEG
+    option maps here too, adaptive damping being the nearest
+    trust-region-flavored equivalent)."""
     P = graph.poses.shape[0]
 
-    def one_iter(poses, _):
+    def one_iter(carry, _):
+        poses, prev_chi2, mu = carry
         r, Ji, Jj = jax.vmap(
             lambda i, j, T: _edge_residual_jac(poses, i, j, T)
         )(graph.edge_i, graph.edge_j, graph.edge_T_ij)
@@ -118,7 +126,7 @@ def optimize_pose_graph(
         # Gauge anchor on vertex 0 + damping; invalid poses are frozen by a
         # huge diagonal.
         eye6 = jnp.eye(6, dtype=poses.dtype)
-        diag_w = damping + anchor_weight * (jnp.arange(P) == 0)
+        diag_w = mu + anchor_weight * (jnp.arange(P) == 0)
         diag_w = diag_w + jnp.where(graph.pose_valid, 0.0, 1e12)
         pr = jnp.arange(P)
         H = H.at[pr, :, pr, :].add(diag_w[:, None, None] * eye6)
@@ -136,9 +144,21 @@ def optimize_pose_graph(
         ok = jnp.all(jnp.isfinite(dx))
         new_poses = jnp.where(ok, new_poses, poses)
         total_chi2 = jnp.sum(chi2 * w)
-        return new_poses, total_chi2
+        if levenberg:
+            mu_next = jnp.clip(
+                jnp.where(total_chi2 < prev_chi2, mu * 0.5, mu * 4.0),
+                damping, 1e2,
+            )
+        else:
+            mu_next = mu
+        return (new_poses, total_chi2, mu_next), total_chi2
 
-    poses, chi2s = jax.lax.scan(one_iter, graph.poses, None, length=iterations)
+    (poses, _, _), chi2s = jax.lax.scan(
+        one_iter,
+        (graph.poses, jnp.float32(jnp.inf), jnp.float32(damping)),
+        None,
+        length=iterations,
+    )
     return poses, chi2s[-1]
 
 
@@ -425,6 +445,7 @@ def optimize_pose_graph_hierarchical(
     robust_kernel_chi2: float = 1.0,
     closure_weight: float = 10.0,
     closure_bucket: int = 4,
+    levenberg: bool = False,
 ):
     """Host-orchestrated hierarchical pose-graph optimization.
 
@@ -493,7 +514,10 @@ def optimize_pose_graph_hierarchical(
         pose_valid=jnp.asarray(np.arange(Jp) < J),
     )
     opt, chi2 = optimize_pose_graph(
-        graph, iterations=iterations, robust_kernel_chi2=robust_kernel_chi2
+        graph,
+        iterations=iterations,
+        robust_kernel_chi2=robust_kernel_chi2,
+        levenberg=levenberg,
     )
     opt = np.asarray(opt)[:J]
 

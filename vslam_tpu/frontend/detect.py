@@ -136,11 +136,82 @@ def gftt_score_map(img: jnp.ndarray, threshold: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(score > threshold, score, 0.0)
 
 
+def _gauss_kernel1d(sigma: float) -> np.ndarray:
+    radius = int(np.ceil(3.0 * sigma))
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return (k / k.sum()).astype(np.float32)
+
+
+def gauss_blur(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
+    """Separable Gaussian blur, (H, W) f32 -> (H, W) f32 (static sigma)."""
+    k = jnp.asarray(_gauss_kernel1d(sigma))
+    n = k.shape[0]
+    x = img[None, None]  # NCHW
+    x = jax.lax.conv_general_dilated(
+        x, k.reshape(1, 1, 1, n), (1, 1), [(0, 0), (n // 2, n // 2)]
+    )
+    x = jax.lax.conv_general_dilated(
+        x, k.reshape(1, 1, n, 1), (1, 1), [(n // 2, n // 2), (0, 0)]
+    )
+    return x[0, 0]
+
+
+# DoG contrast (in 8-bit intensity units) -> detector-threshold range
+# (~5-100, shared with FAST so the dynamic threshold controller transfers).
+_DOG_SCALE = 12.0
+# Intra-octave scale ladder (SIFT-standard k = 2^(1/2) spacing, 5 levels
+# -> 4 DoG bands -> extrema tested on the 2 interior bands).
+_DOG_SIGMAS = (1.0, 1.414, 2.0, 2.828, 4.0)
+
+
+def dog_score_map(img: jnp.ndarray, threshold: jnp.ndarray) -> jnp.ndarray:
+    """Difference-of-Gaussians scale-space extremum response — the
+    SIFT/KAZE-class float blob detector of the fork's pluggable family
+    (reference base_framepoint_generator.cpp:94-113 wraps
+    cv::xfeatures2d::SIFT; here the scale-space extremum search runs as
+    stacked separable convs + one 3D max/min window — pure VPU work).
+
+    A pixel scores when it is a 26-neighborhood (3x3x3 in x, y, scale)
+    extremum of the DoG stack on an interior band and its contrast clears
+    the (host-controlled) threshold.  Multi-OCTAVE coverage comes from the
+    shared pyramid machinery (detect_keypoints octaves)."""
+    g = [gauss_blur(img, s) for s in _DOG_SIGMAS]
+    D = jnp.stack([g[i + 1] - g[i] for i in range(len(g) - 1)])  # (S, H, W)
+    maxn = jax.lax.reduce_window(
+        D, -jnp.inf, jax.lax.max, (3, 3, 3), (1, 1, 1), "SAME"
+    )
+    minn = jax.lax.reduce_window(
+        D, jnp.inf, jax.lax.min, (3, 3, 3), (1, 1, 1), "SAME"
+    )
+    is_ext = ((D >= maxn) & (D > 0)) | ((D <= minn) & (D < 0))
+    # Edge rejection (SIFT's principal-curvature ratio test): a step edge
+    # is a scale-space extremum too, but its spatial Hessian has one
+    # dominant curvature — reject tr^2/det above ((r+1)^2)/r, r = 10.
+    Dxx = jnp.roll(D, -1, axis=2) + jnp.roll(D, 1, axis=2) - 2.0 * D
+    Dyy = jnp.roll(D, -1, axis=1) + jnp.roll(D, 1, axis=1) - 2.0 * D
+    Dxy = 0.25 * (
+        jnp.roll(jnp.roll(D, -1, axis=1), -1, axis=2)
+        + jnp.roll(jnp.roll(D, 1, axis=1), 1, axis=2)
+        - jnp.roll(jnp.roll(D, -1, axis=1), 1, axis=2)
+        - jnp.roll(jnp.roll(D, 1, axis=1), -1, axis=2)
+    )
+    tr = Dxx + Dyy
+    det = Dxx * Dyy - Dxy * Dxy
+    r = 10.0
+    not_edge = (det > 0) & (tr * tr * r < (r + 1.0) ** 2 * det)
+    score = jnp.where(is_ext & not_edge, jnp.abs(D) * _DOG_SCALE, 0.0)
+    # Interior bands only (the outer bands lack a scale neighbor).
+    score = jnp.max(score[1:-1], axis=0)
+    return jnp.where(score > threshold, score, 0.0)
+
+
 # Detector registry (the reference's pluggable Detector hierarchy,
 # base_framepoint_generator.h:10-107, selected by string detector_type).
 # AGAST maps onto the same 16-pixel segment-test family as FAST (the
 # reference wraps cv::AgastFeatureDetector; the adaptive tree it uses is an
 # evaluation-order optimization of the identical corner criterion).
+# SIFT/KAZE-class float detectors map onto DOG (io/config.py aliases).
 def score_map(img, threshold, detector: str) -> jnp.ndarray:
     d = detector.upper()
     if d in ("FAST", "FAST9", "AGAST"):
@@ -151,8 +222,10 @@ def score_map(img, threshold, detector: str) -> jnp.ndarray:
         return harris_score_map(img, threshold)
     if d in ("GFTT", "SHI_TOMASI"):
         return gftt_score_map(img, threshold)
+    if d == "DOG":
+        return dog_score_map(img, threshold)
     raise ValueError(
-        f"unknown detector '{detector}' (FAST|FAST12|AGAST|HARRIS|GFTT)"
+        f"unknown detector '{detector}' (FAST|FAST12|AGAST|HARRIS|GFTT|DOG)"
     )
 
 

@@ -19,6 +19,10 @@ import yaml
 @dataclass
 class CommandLineParameters:
     # reference parameters.h:23-64
+    # Live Qt/OpenGL viewers are a documented non-goal (real-time display
+    # is explicitly no constraint, reference README.md:7); these two flags
+    # are parsed for YAML compat and intentionally unread — the file-dump
+    # equivalent is visualization.enable_image_dump.
     option_use_gui: bool = False
     option_disable_relocalization: bool = False  # -open-loop
     option_show_top_viewer: bool = False
@@ -85,7 +89,11 @@ class FramepointGenerationParameters:
     # depth group (parameters.h:237-257)
     maximum_depth_meters: float = 10.0
     minimum_depth_meters: float = 0.3
-    depth_scale_factor: float = 1e-3
+    # 16-bit depth units -> meters (reference key name, parameters.h:251;
+    # 1e-3 = millimeter-encoded depth as in ROS bag streams).  The TUM/ICL
+    # PNG loader defaults to 1/5000 unless this key is explicitly set in
+    # the YAML (io/datasets.py, system/cli.py).
+    depth_scale_factor_intensity_to_meters: float = 1e-3
     # Optional bilateral smoothing of the (registered) depth map
     # (reference depth_framepoint_generator.cpp:415-421).
     enable_bilateral_filtering: bool = False
@@ -104,9 +112,16 @@ class TrackingParameters:
     minimum_number_of_landmarks_to_track: int = 5
     minimum_threshold_distance_tracking_pixels: int = 50
     maximum_threshold_distance_tracking_pixels: int = 60
+    # Parsed for reference-YAML compatibility; DEAD IN THE REFERENCE TOO
+    # (parameters.cpp parses it, nothing in src/ reads it) — intentionally
+    # ignored here as well.
     range_point_tracking: int = 2
     maximum_distance_tracking_pixels: int = 150
     good_tracking_ratio: float = 0.3
+    # 0 disables landmark recovery entirely (with option_recover_landmarks
+    # it gates frame_mod.recover_lost_landmarks).  The reference parses
+    # this key but never reads it (dead there); the 0-disables semantic is
+    # our documented extension.
     maximum_number_of_landmark_recoveries: int = 3
     minimum_delta_angular_for_movement: float = 0.001
     minimum_delta_translational_for_movement: float = 0.01
@@ -221,6 +236,57 @@ class ParameterCollection:
     )
     parallelism: ParallelismParameters = field(default_factory=ParallelismParameters)
 
+    def validate(self) -> None:
+        """Reject inconsistent parameter combinations with the offending
+        key named (reference ParameterCollection::validateParameters +
+        setMode mode check, parameters.cpp:443-475)."""
+
+        def bad(key, why):
+            raise ValueError(f"invalid configuration: {key} {why}")
+
+        cl, fp, tr = self.command_line, self.framepoint_generation, self.tracking
+        if cl.tracker_mode not in ("RGB_STEREO", "RGB_DEPTH"):
+            bad("command_line.tracker_mode", f"= {cl.tracker_mode!r} "
+                "(RGB_STEREO | RGB_DEPTH)")
+        if fp.detector_type not in ("FAST", "FAST9", "FAST12", "AGAST",
+                                    "HARRIS", "GFTT", "SHI_TOMASI", "DOG"):
+            bad("framepoint_generation.detector_type", f"= {fp.detector_type!r}")
+        if fp.descriptor_type not in ("BRIEF256", "BRIEF256R", "ORB256"):
+            bad("framepoint_generation.descriptor_type",
+                f"= {fp.descriptor_type!r}")
+        if fp.capacity <= 0 or (fp.capacity & (fp.capacity - 1)):
+            bad("framepoint_generation.capacity",
+                f"= {fp.capacity} (positive power of two required)")
+        if fp.bin_size_pixels <= 0:
+            bad("framepoint_generation.bin_size_pixels", "must be positive")
+        if not (
+            fp.detector_threshold_minimum
+            <= fp.detector_threshold_starting_value
+            <= fp.detector_threshold_maximum
+        ):
+            bad("framepoint_generation.detector_threshold_*",
+                "must satisfy minimum <= starting_value <= maximum")
+        if fp.minimum_depth_meters >= fp.maximum_depth_meters:
+            bad("framepoint_generation.minimum_depth_meters",
+                ">= maximum_depth_meters")
+        if fp.minimum_disparity_pixels >= fp.maximum_disparity_pixels:
+            bad("framepoint_generation.minimum_disparity_pixels",
+                ">= maximum_disparity_pixels")
+        if tr.motion_model not in ("NONE", "CONSTANT_VELOCITY",
+                                   "CAMERA_ODOMETRY"):
+            bad("tracking.motion_model", f"= {tr.motion_model!r}")
+        if self.graph_optimization.optimization_algorithm.upper() not in (
+            "GAUSS_NEWTON", "LEVENBERG", "DOGLEG",
+        ):
+            bad("graph_optimization.optimization_algorithm",
+                f"= {self.graph_optimization.optimization_algorithm!r}")
+        rl = self.relocalization
+        for key in ("preliminary_minimum_matching_ratio",
+                    "icp_minimum_inlier_ratio"):
+            v = getattr(rl, key)
+            if not (0.0 <= v <= 1.0):
+                bad(f"relocalization.{key}", f"= {v} (outside [0, 1])")
+
 
 _GROUP_ALIASES = {
     # reference YAML group names -> our fields (parameters.cpp:272-441)
@@ -240,9 +306,68 @@ _GROUP_ALIASES = {
 }
 
 
+# Old/short key spellings accepted for compatibility with earlier configs.
+_KEY_ALIASES = {
+    "depth_scale_factor": "depth_scale_factor_intensity_to_meters",
+}
+
+# Reference YAML spellings that differ from our field names, per target
+# group: the reference nests aligner parameters as "aligner-><key>"
+# (parameters.cpp:272-441) and uses minimum_number_of_matched_landmarks
+# for the relocalizer ambiguity gate (parameters.cpp:126).
+_GROUP_KEY_ALIASES = {
+    ("tracking", "aligner->maximum_error_kernel"): "aligner_maximum_error_kernel",
+    ("tracking", "aligner->damping"): "aligner_damping",
+    ("tracking", "aligner->maximum_number_of_iterations"):
+        "aligner_maximum_number_of_iterations",
+    ("tracking", "aligner->minimum_number_of_inliers"):
+        "aligner_minimum_number_of_inliers",
+    ("tracking", "aligner->minimum_inlier_ratio"): "aligner_minimum_inlier_ratio",
+    ("relocalization", "aligner->maximum_error_kernel"): "icp_maximum_error_kernel",
+    ("relocalization", "aligner->minimum_number_of_inliers"):
+        "icp_minimum_number_of_inliers",
+    ("relocalization", "aligner->minimum_inlier_ratio"): "icp_minimum_inlier_ratio",
+    ("relocalization", "minimum_number_of_matched_landmarks"):
+        "minimum_number_of_matches_per_landmark",
+    ("framepoint_generation", "maximum_descriptor_distance_tracking"):
+        "matching_distance_tracking_threshold",
+}
+
+# Reference/OpenCV detector + descriptor spellings -> nearest TPU-native
+# implementation (reference Detector hierarchy,
+# base_framepoint_generator.cpp:9-159; the float scale-space family maps
+# onto the DoG extremum detector, the segment-test family onto FAST).
+_DETECTOR_ALIASES = {
+    "SIFT": "DOG",
+    "SURF": "DOG",
+    "KAZE": "DOG",
+    "AKAZE": "DOG",
+    "BRISK": "FAST",
+    "ORB": "FAST",
+}
+_DESCRIPTOR_ALIASES = {
+    "BRIEF": "BRIEF256",
+    "BRIEF-128": "BRIEF256",
+    "BRIEF-256": "BRIEF256",
+    "BRIEF-512": "BRIEF256",
+    "ORB-256": "ORB256",
+    "BRISK-512": "BRIEF256R",
+    "FREAK-512": "BRIEF256R",
+    "A-KAZE-486": "BRIEF256R",
+    "BinBoost-064": "BRIEF256",
+}
+
+
 def load_config(path: Optional[str] = None, overrides: Optional[dict] = None) -> ParameterCollection:
-    """Build a ParameterCollection from YAML + flat 'group.key' overrides."""
+    """Build a ParameterCollection from YAML + flat 'group.key' overrides.
+
+    The returned collection carries `explicit_keys`: the set of
+    "group.key" strings the YAML/overrides actually provided — consumers
+    whose defaults depend on context (e.g. the TUM PNG depth scale) use it
+    to tell an explicit value from a dataclass default.
+    """
     cfg = ParameterCollection()
+    explicit: set[str] = set()
     if path:
         with open(path) as f:
             doc = yaml.safe_load(f) or {}
@@ -253,19 +378,40 @@ def load_config(path: Optional[str] = None, overrides: Optional[dict] = None) ->
                 continue
             group = getattr(cfg, target_name)
             for key, val in values.items():
+                key = _KEY_ALIASES.get(key, key)
+                key = _GROUP_KEY_ALIASES.get((target_name, key), key)
                 if hasattr(group, key):
                     cur = getattr(group, key)
                     try:
                         setattr(group, key, type(cur)(val) if cur is not None else val)
                     except (TypeError, ValueError):
                         setattr(group, key, val)
+                    explicit.add(f"{target_name}.{key}")
                 else:
                     print(f"[config] ignoring unknown key '{group_name}/{key}'")
     for dotted, val in (overrides or {}).items():
         group_name, key = dotted.split(".", 1)
+        key = _KEY_ALIASES.get(key, key)
         group = getattr(cfg, _GROUP_ALIASES[group_name])
         cur = getattr(group, key)
         setattr(group, key, type(cur)(val) if cur is not None else val)
+        explicit.add(f"{_GROUP_ALIASES[group_name]}.{key}")
+    fp = cfg.framepoint_generation
+    det = fp.detector_type.upper()
+    if det in _DETECTOR_ALIASES:
+        print(
+            f"[config] detector '{fp.detector_type}' -> "
+            f"'{_DETECTOR_ALIASES[det]}' (nearest TPU-native detector)"
+        )
+        fp.detector_type = _DETECTOR_ALIASES[det]
+    if fp.descriptor_type in _DESCRIPTOR_ALIASES:
+        print(
+            f"[config] descriptor '{fp.descriptor_type}' -> "
+            f"'{_DESCRIPTOR_ALIASES[fp.descriptor_type]}'"
+        )
+        fp.descriptor_type = _DESCRIPTOR_ALIASES[fp.descriptor_type]
+    cfg.explicit_keys = explicit
+    cfg.validate()
     return cfg
 
 

@@ -200,7 +200,13 @@ class TumRgbdDataset:
     DEPTH_SCALE = 1.0 / 5000.0
 
     def __init__(self, path: str, cam_params: Optional[cam_ops.CameraParams] = None,
-                 max_dt: float = 0.02):
+                 max_dt: float = 0.02, depth_scale: Optional[float] = None):
+        """depth_scale: meters per 16-bit depth unit.  None = the TUM PNG
+        convention (1/5000).  The config key
+        `depth_scale_factor_intensity_to_meters` (reference
+        parameters.h:251) overrides it when explicitly set — e.g. 1e-3
+        for millimeter-encoded xtion/ROS-bag exports."""
+        self.depth_scale = float(depth_scale) if depth_scale else self.DEPTH_SCALE
         self.base = path
         rgb = self._parse_list(os.path.join(path, "rgb.txt"))
         depth = self._parse_list(os.path.join(path, "depth.txt"))
@@ -237,7 +243,7 @@ class TumRgbdDataset:
             d16 = cv2.imread(os.path.join(self.base, depth_f), cv2.IMREAD_UNCHANGED)
             if d16 is None:
                 raise FileNotFoundError(depth_f)
-            depth_m = d16.astype(np.float32) * self.DEPTH_SCALE
+            depth_m = d16.astype(np.float32) * self.depth_scale
             yield StereoFrame(img, depth_m, ts, i, is_depth=True)
 
 

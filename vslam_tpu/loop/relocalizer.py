@@ -438,6 +438,14 @@ class Relocalizer:
         mids = mids[mids <= max_map_id]
         if len(mids) == 0:
             return None
+        # Ambiguity gate (reference relocalizer.cpp:126): the query must
+        # have matched at least this many DISTINCT landmarks before any
+        # candidate is considered.
+        if (
+            len(np.unique(matched_slots))
+            < p.minimum_number_of_matches_per_landmark
+        ):
+            return None
         counts = np.bincount(mids)
         best_map = int(np.argmax(counts))
         n_votes = int(counts[best_map])
@@ -469,6 +477,14 @@ class Relocalizer:
             for q, s in zip(q_rows_all, matched_slots)
             if int(s) in slot_row
         ]
+        # Per-correspondence support gate (reference relocalizer.cpp:267,
+        # count_best > minimum_matches_per_correspondence).  Top-1 Hamming
+        # matching gives every pair support exactly 1, so thresholds 0/1
+        # keep all pairs (every shipped reference config uses 0 or 1) and
+        # >=2 disables correspondence formation — documented deviation
+        # from the reference's multi-match counting.
+        if p.minimum_matches_per_correspondence >= 2:
+            pairs = []
         if len(pairs) < p.icp_minimum_number_of_inliers:
             return None
         q_rows = np.asarray([a for a, _ in pairs])

@@ -79,9 +79,36 @@ def cmd_run(args):
         cfg.command_line.option_disable_relocalization = True
     if args.tracker_mode:
         cfg.command_line.tracker_mode = args.tracker_mode
+    if args.dump:
+        cfg.visualization.enable_image_dump = True
+        if args.dump is not True:
+            cfg.visualization.dump_directory = args.dump
+    cfg.command_line.configuration_file_name = args.config or ""
+    if not args.dataset:
+        args.dataset = cfg.command_line.dataset_file_name
+        if not args.dataset:
+            raise SystemExit(
+                "no dataset: pass --dataset or set "
+                "command_line.dataset_file_name in the config"
+            )
 
-    ds = datasets.load_dataset(args.dataset, args.format,
-                               **({"equalize_hist": True} if args.equalize_histogram and args.format == "kitti" else {}))
+    ds_kwargs = {}
+    equalize = (
+        args.equalize_histogram or cfg.command_line.option_equalize_histogram
+    )
+    if equalize and args.format == "kitti":
+        ds_kwargs["equalize_hist"] = True
+    # Honor an explicitly-configured depth scale (reference
+    # depth_scale_factor_intensity_to_meters, parameters.h:251); PNG
+    # datasets otherwise keep the TUM 1/5000 convention.
+    if args.format in ("tum", "icl") and (
+        "framepoint_generation.depth_scale_factor_intensity_to_meters"
+        in getattr(cfg, "explicit_keys", ())
+    ):
+        ds_kwargs["depth_scale"] = (
+            cfg.framepoint_generation.depth_scale_factor_intensity_to_meters
+        )
+    ds = datasets.load_dataset(args.dataset, args.format, **ds_kwargs)
     if args.format in ("tum", "icl"):
         cfg.command_line.tracker_mode = "RGB_DEPTH"
 
@@ -116,18 +143,26 @@ def cmd_run(args):
         traj_eval.write_kitti(args.output_kitti, est)
     if args.output_tum:
         traj_eval.write_tum(args.output_tum, est, np.asarray(timestamps))
-    if args.save_pose_graph:
+    save_pg = args.save_pose_graph or (
+        "pose_graph.g2o" if cfg.command_line.option_save_pose_graph else None
+    )
+    if save_pg and engine.kf_poses:
         from vslam_tpu.io import g2o_io
 
         edges = [
             (k - 1, k, engine.kf_odometry[k - 1], engine.kf_odom_weight[k - 1])
             for k in range(1, len(engine.kf_poses))
         ] + [(i, j, T, 10.0) for (i, j, T) in engine.closure_edges]
-        g2o_io.write_pose_graph(args.save_pose_graph, np.stack(engine.kf_poses), edges)
+        g2o_io.write_pose_graph(save_pg, np.stack(engine.kf_poses), edges)
     if args.save_factor_graph and engine.kf_poses:
         from vslam_tpu.io import g2o_io
 
         write_engine_factor_graph(engine, args.save_factor_graph)
+    if cfg.visualization.enable_image_dump:
+        from vslam_tpu.viz import plots
+
+        out = plots.dump_run(engine, cfg.visualization.dump_directory)
+        print(f"visualization artifacts in {out}", file=sys.stderr)
     engine.print_report()
     with open(args.timing_output, "w") as f:
         json.dump(engine.report(), f, indent=2)
@@ -195,7 +230,8 @@ def main(argv=None):
     sub = p.add_subparsers(dest="command", required=True)
 
     pr = sub.add_parser("run", help="run SLAM over a dataset")
-    pr.add_argument("--dataset", required=True)
+    pr.add_argument("--dataset", default=None,
+                    help="dataset path (or command_line.dataset_file_name)")
     pr.add_argument("--format", default="kitti", choices=["kitti", "euroc", "tum", "icl"])
     pr.add_argument("-c", "--config", default=None, help="YAML configuration file")
     pr.add_argument("--open-loop", action="store_true",
@@ -213,6 +249,11 @@ def main(argv=None):
                          "(writePoseGraphToFile parity)")
     pr.add_argument("--timing-output", default="timing_vslam_tpu.json",
                     help="machine-readable report (timing_proslam.txt parity)")
+    pr.add_argument("--dump", nargs="?", const=True, default=False,
+                    metavar="DIR",
+                    help="dump per-keyframe overlays + final map plot "
+                         "(optional output directory; default from the "
+                         "visualization config group)")
     pr.add_argument("--trace-dir", default=None,
                     help="write an xprof device trace (easy_profiler parity)")
     pr.set_defaults(func=cmd_run)

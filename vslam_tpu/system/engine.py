@@ -63,6 +63,9 @@ class SlamEngine:
         landmark_capacity: int = 65536,
     ):
         self.cfg = config or ParameterCollection()
+        # Reject inconsistent parameters up front (reference
+        # validateParameters, parameters.cpp:443-454).
+        self.cfg.validate()
         self.cam = cam
         tracker_cls = (
             FusedPoseTracker if self.cfg.tracking.use_fused_tracker else PoseTracker
@@ -116,6 +119,17 @@ class SlamEngine:
         self._inflight_icp: list = []
         self._slot_remap: dict[int, int] = {}  # absorbed -> representative
         self._last_ba_frame = 0
+        # Per-keyframe image dump (reference ImageViewer parity as files,
+        # image_viewer.cpp:84-155): keep a bounded ring of recent left
+        # images so keyframe events (which lag the tracker by up to one
+        # drain) can still render their overlay.
+        self._viz_enabled = self.cfg.visualization.enable_image_dump
+        self._viz_dir = self.cfg.visualization.dump_directory
+        self._viz_ring: dict[int, np.ndarray] = {}
+        if self._viz_enabled:
+            import os
+
+            os.makedirs(self._viz_dir, exist_ok=True)
         self.n_optimizations = 0
         self.n_merges = 0
         self.n_ba_runs = 0
@@ -137,6 +151,11 @@ class SlamEngine:
         odometry: optional external motion guess (CAMERA_ODOMETRY model).
         """
         t0 = time.perf_counter()
+        if self._viz_enabled:
+            idx = self.tracker.frame_idx
+            self._viz_ring[idx] = img_l
+            for stale in [k for k in self._viz_ring if k < idx - 128]:
+                del self._viz_ring[stale]
         T = self.tracker.compute(img_l, img_r, odometry)
         if hasattr(self.tracker, "pop_keyframes"):
             self._consume_keyframe_events()
@@ -341,6 +360,25 @@ class SlamEngine:
                 BREAK_EDGE_WEIGHT if spans_break else 1.0
             )
 
+        # Keyframe overlay dump (ImageViewer parity, image_viewer.cpp:84-155).
+        if self._viz_enabled:
+            img = self._viz_ring.get(snap.frame_idx)
+            if img is not None and snap.uv4 is not None:
+                import os
+
+                from vslam_tpu.viz import plots
+
+                uv = np.asarray(snap.uv4)[:, :2]
+                plots.draw_frame_overlay(
+                    img,
+                    uv,
+                    has_landmark=np.asarray(snap.slots) >= 0,
+                    valid=np.isfinite(uv).all(axis=1),
+                    path=os.path.join(
+                        self._viz_dir, f"overlay_{snap.frame_idx:06d}.png"
+                    ),
+                )
+
         # Full BA runs on its frame cadence regardless of relocalization
         # (reference optimizeFactorGraph is gated only on the BA flag +
         # cadence, slam_assembly.cpp:558-568).
@@ -498,6 +536,8 @@ class SlamEngine:
                 1.0 if gopt.enable_robust_kernel_for_poses else 1e12
             ),
             closure_bucket=gopt.closure_compaction_bucket,
+            levenberg=gopt.optimization_algorithm.upper()
+            in ("LEVENBERG", "DOGLEG"),
         )
         C_last = self._propagate_corrections(opt)
         self.n_optimizations += 1

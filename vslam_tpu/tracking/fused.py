@@ -140,6 +140,19 @@ class FusedParams(NamedTuple):
     max_recovery_gate: float = 50.0  # descriptor gate cap for recovery
     radius_min: float = 50.0
     radius_max: float = 150.0
+    # Adaptive-controller cap for the projection window (reference
+    # maximum_threshold_distance_tracking_pixels, parameters.h:283); the
+    # retry ladder may still widen to radius_max beyond it.
+    radius_adaptive_max: float = 60.0
+    # Registration result must track at least this many points or the
+    # frame falls back to the motion-model estimate (reference
+    # minimum_number_of_landmarks_to_track, pose_tracker_3d.cpp:111,132,364).
+    min_landmarks_to_track: int = 5
+    # Movement significance gate: optimized deltas below BOTH thresholds
+    # are treated as stationary — the motion estimate is not updated
+    # (reference pose_tracker_3d.cpp:145,378).
+    min_delta_ang: float = 0.001
+    min_delta_trans: float = 0.01
     gate_min: float = 60.0
     gate_max: float = 90.0
     good_tracking_ratio: float = 0.3
@@ -394,6 +407,7 @@ def _step_tail(cam, params: FusedParams, track_fn, state: TrackerState,
         return (
             r.converged
             & (r.n_inliers >= params.min_inliers)
+            & (r.n_inliers >= params.min_landmarks_to_track)
             & (ratio >= params.min_inlier_ratio)
         )
 
@@ -438,6 +452,15 @@ def _step_tail(cam, params: FusedParams, track_fn, state: TrackerState,
     # motion model so the trajectory stays continuous; T_guess is
     # identity at frame 0 (last_motion initializes to identity).
     motion = jnp.where(state.has_prev, motion, T_guess)
+    # Movement significance gate (pose_tracker_3d.cpp:145,378): a solved
+    # delta below both thresholds is jitter around a stationary camera —
+    # snap it to identity so the pose (and the motion model) hold still.
+    d_ang = lie.rotation_angle(motion[:3, :3])
+    d_trans = jnp.linalg.norm(motion[:3, 3])
+    stationary = (
+        ok & (d_ang < params.min_delta_ang) & (d_trans < params.min_delta_trans)
+    )
+    motion = jnp.where(stationary, jnp.eye(4, dtype=motion.dtype), motion)
     T_world_cam = state.T_world_cam @ lie.inverse(motion)
 
     # Track propagation only on success (reference breakTrack otherwise).
@@ -584,8 +607,11 @@ def _step_tail(cam, params: FusedParams, track_fn, state: TrackerState,
     n_prev = jnp.maximum(jnp.sum(state.prev.valid), 1)
     ratio = res.n_matches.astype(jnp.float32) / n_prev.astype(jnp.float32)
     poor = ratio < params.good_tracking_ratio
-    radius = jnp.where(poor, jnp.minimum(state.radius_px * 1.2, params.radius_max),
-                       jnp.maximum(state.radius_px * 0.95, params.radius_min))
+    radius = jnp.where(
+        poor,
+        jnp.minimum(state.radius_px * 1.2, params.radius_adaptive_max),
+        jnp.maximum(state.radius_px * 0.95, params.radius_min),
+    )
     gate = jnp.where(poor, jnp.minimum(state.desc_gate + 5.0, params.gate_max),
                      jnp.maximum(state.desc_gate - 1.0, params.gate_min))
 

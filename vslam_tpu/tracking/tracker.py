@@ -455,9 +455,21 @@ class FusedPoseTracker:
             min_track_for_landmark=tr.minimum_track_length_for_landmark_creation,
             min_inliers=tr.aligner_minimum_number_of_inliers,
             min_inlier_ratio=tr.aligner_minimum_inlier_ratio,
-            enable_recovery=config.command_line.option_recover_landmarks,
+            enable_recovery=(
+                config.command_line.option_recover_landmarks
+                and tr.maximum_number_of_landmark_recoveries > 0
+            ),
             radius_min=float(tr.minimum_threshold_distance_tracking_pixels),
             radius_max=float(tr.maximum_distance_tracking_pixels),
+            radius_adaptive_max=float(
+                max(
+                    tr.maximum_threshold_distance_tracking_pixels,
+                    tr.minimum_threshold_distance_tracking_pixels,
+                )
+            ),
+            min_landmarks_to_track=tr.minimum_number_of_landmarks_to_track,
+            min_delta_ang=tr.minimum_delta_angular_for_movement,
+            min_delta_trans=tr.minimum_delta_translational_for_movement,
             gate_min=float(fp.matching_distance_tracking_threshold),
             good_tracking_ratio=tr.good_tracking_ratio,
             target_keypoints=min(int(n_cells * 0.7), int(fp.capacity * 0.7)),
