@@ -114,8 +114,12 @@ def run_scale(
         np.sum(np.linalg.norm(np.diff(poses[:, :3, 3], axis=0), axis=1))
     )
     table_rows = int(np.asarray(engine.tracker.table.valid).sum())
+    # Scale-accuracy criterion (VERDICT r3 #2): closures must actually
+    # deliver — ATE within 0.3% of path length on the multi-lap run.
+    ate_ok = bool(rmse <= max(0.003 * path_len, 0.5))
     return {
         "n_frames": n_frames,
+        "ate_ok": ate_ok,
         "fps": round(n_frames / t_proc, 2),
         "render_s": round(t_render, 1),
         "process_s": round(t_proc, 1),

@@ -16,6 +16,12 @@ CAM = cam_ops.make_camera(fx=400.0, fy=400.0, cx=160.0, cy=80.0,
                           baseline_m=0.3, rows=160, cols=320)
 
 
+
+import pytest
+
+# Full-engine / compile-heavy: excluded from the fast core subset
+pytestmark = pytest.mark.slow
+
 def make_cfg(ba: bool):
     cfg = ParameterCollection()
     cfg.framepoint_generation.capacity = 256

@@ -18,6 +18,12 @@ CAM = cam_ops.make_camera(fx=500.0, fy=500.0, cx=320.0, cy=160.0,
 BLANK = 18  # frame where the camera is blinded for one frame
 
 
+
+import pytest
+
+# Full-engine / compile-heavy: excluded from the fast core subset
+pytestmark = pytest.mark.slow
+
 @pytest.fixture(scope="module")
 def gap_run():
     cfg = ParameterCollection()

@@ -20,6 +20,12 @@ CAM = cam_ops.make_camera(fx=500.0, fy=500.0, cx=320.0, cy=160.0,
                           baseline_m=0.4, rows=320, cols=640)
 
 
+
+import pytest
+
+# Full-engine / compile-heavy: excluded from the fast core subset
+pytestmark = pytest.mark.slow
+
 def make_local_map(map_id, T_world_kf, slots, xyz_world, desc):
     T_kw = np.linalg.inv(T_world_kf)
     return LocalMap(

@@ -15,6 +15,12 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 WORKER = os.path.join(HERE, "multihost_worker.py")
 
 
+
+import pytest
+
+# Full-engine / compile-heavy: excluded from the fast core subset
+pytestmark = pytest.mark.slow
+
 def _free_port() -> int:
     s = socket.socket()
     s.bind(("localhost", 0))

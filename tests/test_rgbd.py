@@ -17,6 +17,12 @@ CAM = cam_ops.make_camera(fx=525.0, fy=525.0, cx=320.0, cy=160.0,
                           baseline_m=0.075, rows=320, cols=640)
 
 
+
+import pytest
+
+# Full-engine / compile-heavy: excluded from the fast core subset
+pytestmark = pytest.mark.slow
+
 def test_gather_depth():
     d = np.zeros((100, 200), np.float32)
     d[40, 60] = 3.5

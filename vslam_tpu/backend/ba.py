@@ -29,7 +29,14 @@ from vslam_tpu.ops import lie
 
 
 class BAProblem(NamedTuple):
-    """Bundle-adjustment problem with landmark-grouped observations."""
+    """Bundle-adjustment problem with landmark-grouped observations.
+
+    The optional odometry rows add the reference's pose-pose factors
+    (GraphOptimizer::_setPoseEdge, graph_optimizer.cpp:490-526): without
+    them a windowed BA is anchored only by its gauge camera and the free
+    boundary wanders against the tracker trajectory (r4 ablation: pose
+    write-back doubled open-loop ATE until these priors were added).
+    """
 
     T_wc: jnp.ndarray  # (P, 4, 4) camera poses (world <- cam)
     xyz: jnp.ndarray  # (L, 3) landmark world positions
@@ -39,6 +46,12 @@ class BAProblem(NamedTuple):
     obs_mask: jnp.ndarray  # (L, Omax) bool
     lm_valid: jnp.ndarray  # (L,) bool
     cam_fixed: jnp.ndarray  # (P,) bool — gauge-fixed cameras
+    # Odometry pose-pose factors between consecutive cameras: row k is the
+    # measured T_{k,k+1}; odo_weight scales the shared information diag
+    # (0 disables the edge; None disables the factor family entirely).
+    odo_T: jnp.ndarray | None = None  # (P, 4, 4); row P-1 is padding
+    odo_weight: jnp.ndarray | None = None  # (P,) f32
+    odo_info: jnp.ndarray | None = None  # (6,) per-dim information diag
 
 
 class BAConfig(NamedTuple):
@@ -144,6 +157,30 @@ def solve_reduced_and_backsub(T_wc, prob, S, b_S, Winv, b_l, Y, config: BAConfig
     diag = config.damping + jnp.where(prob.cam_fixed, config.fixed_weight, 0.0)
     pr = jnp.arange(P)
     S = S.at[pr, :, pr, :].add(diag[:, None, None] * eye6)
+
+    # Odometry pose-pose factors (reference _setPoseEdge,
+    # graph_optimizer.cpp:490-526) — added HERE, after the landmark shards
+    # were (psum-)combined, so the sharded path counts them exactly once.
+    if prob.odo_T is not None:
+        from vslam_tpu.backend import pose_graph as pg
+
+        ks = jnp.arange(P)
+        r_o, Ji, Jj = jax.vmap(
+            lambda i, j, T: pg._edge_residual_jac(T_wc, i, j, T)
+        )(ks, jnp.minimum(ks + 1, P - 1), prob.odo_T)
+        w = prob.odo_weight * (ks < P - 1)
+        om = prob.odo_info  # (6,) information diag
+        Hii = jnp.einsum("eri,e,r,erj->eij", Ji, w, om, Ji)
+        Hjj = jnp.einsum("eri,e,r,erj->eij", Jj, w, om, Jj)
+        Hij = jnp.einsum("eri,e,r,erj->eij", Ji, w, om, Jj)
+        bi = jnp.einsum("eri,e,r,er->ei", Ji, w, om, r_o)
+        bj = jnp.einsum("eri,e,r,er->ei", Jj, w, om, r_o)
+        jj = jnp.minimum(ks + 1, P - 1)
+        S = S.at[ks, :, ks, :].add(Hii)
+        S = S.at[jj, :, jj, :].add(Hjj)
+        S = S.at[ks, :, jj, :].add(Hij)
+        S = S.at[jj, :, ks, :].add(jnp.swapaxes(Hij, -1, -2))
+        b_S = b_S.at[ks].add(bi).at[jj].add(bj)
 
     Sd = S.reshape(P * 6, P * 6)
     bd = b_S.reshape(P * 6)

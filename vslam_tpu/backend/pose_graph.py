@@ -471,6 +471,11 @@ def optimize_pose_graph_hierarchical(
     )
     jidx = {k: n for n, k in enumerate(junc)}
     J = len(junc)
+    # Generous bucket floors: every distinct (Jp, Ep, P_pad) combo costs a
+    # trace + compile-cache load (~1-2 s each over the tunnel) once per
+    # process; a handful of big buckets beats many tight ones (the dense
+    # solve at Jp=128 is still ~90 ms/call on one chip).
+    _J_FLOOR, _E_FLOOR, _P_FLOOR = 5, 6, 8  # 32, 64, 256
 
     # Super-edges: composed odometry between consecutive junctions with
     # series-composed scalar information (covariances add along a chain, so
@@ -491,9 +496,9 @@ def optimize_pose_graph_hierarchical(
         se_T.append(np.asarray(T_ij, np.float32))
         se_w.append(closure_weight)
 
-    Jp = _pow2(J)
+    Jp = _pow2(J, floor=_J_FLOOR)
     E = len(se_i)
-    Ep = _pow2(E)
+    Ep = _pow2(E, floor=_E_FLOOR)
     poses_arr = np.tile(np.eye(4, dtype=np.float32), (Jp, 1, 1))
     poses_arr[:J] = poses[junc]
     ei = np.zeros(Ep, np.int32)
@@ -533,7 +538,7 @@ def optimize_pose_graph_hierarchical(
     seg_len = np.maximum(junc_arr[owner + 1] - junc_arr[owner], 1)
     s = ((k_idx - junc_arr[owner]) / seg_len).astype(np.float32)
 
-    P_pad = _pow2(P)
+    P_pad = _pow2(P, floor=_P_FLOOR)
     est_pad = np.tile(np.eye(4, dtype=np.float32), (P_pad, 1, 1))
     est_pad[:P] = poses.astype(np.float32)
     corr_pad = np.tile(np.eye(4, dtype=np.float32), (Jp, 1, 1))

@@ -57,10 +57,14 @@ def bundle_adjust_sharded(
             lm_spec,  # obs_mask
             lm_spec,  # lm_valid
             rep,  # cam_fixed
+            rep,  # odo_T (replicated: pose factors are added post-psum)
+            rep,  # odo_weight
+            rep,  # odo_info
         ),
         out_specs=(rep, lm_spec, rep),
     )
-    def run(T_wc, xyz, obs_cam, obs_uv4, obs_w, obs_m, lm_valid, cam_fixed):
+    def run(T_wc, xyz, obs_cam, obs_uv4, obs_w, obs_m, lm_valid, cam_fixed,
+            odo_T, odo_weight, odo_info):
         local = ba_mod.BAProblem(
             T_wc=T_wc,
             xyz=xyz,
@@ -70,6 +74,9 @@ def bundle_adjust_sharded(
             obs_mask=obs_m,
             lm_valid=lm_valid,
             cam_fixed=cam_fixed,
+            odo_T=odo_T,
+            odo_weight=odo_weight,
+            odo_info=odo_info,
         )
 
         def one_iter(carry, _):
@@ -93,6 +100,15 @@ def bundle_adjust_sharded(
         )
         return T_out, x_out, chi2s
 
+    n_cam = prob.T_wc.shape[0]
+    odo_T = prob.odo_T
+    odo_w = prob.odo_weight
+    odo_info = prob.odo_info
+    if odo_T is None:
+        # shard_map needs concrete arrays; zero weights disable the factors.
+        odo_T = jnp.tile(jnp.eye(4, dtype=prob.T_wc.dtype), (n_cam, 1, 1))
+        odo_w = jnp.zeros(n_cam, prob.T_wc.dtype)
+        odo_info = jnp.zeros(6, prob.T_wc.dtype)
     return run(
         prob.T_wc,
         prob.xyz,
@@ -102,4 +118,7 @@ def bundle_adjust_sharded(
         prob.obs_mask,
         prob.lm_valid,
         prob.cam_fixed,
+        odo_T,
+        odo_w,
+        odo_info,
     )

@@ -47,19 +47,40 @@ def build_window_problem(engine, window: int = WINDOW, omax: int = OMAX):
     kf_ids = [m.map_id for m in maps]
     P = window
 
-    # Group observations by landmark slot.
-    obs: dict[int, list[tuple[int, np.ndarray]]] = {}
-    for local_cam, m in enumerate(maps):
-        for s, uv in zip(m.landmark_slots, m.uv4):
-            if s >= 0:
-                obs.setdefault(int(s), []).append((local_cam, uv))
-    slots = [s for s, o in obs.items() if len(o) >= MIN_OBS]
-    if len(slots) < 16:
-        return None
-
     table = engine.tracker.table
     xyz_all = np.asarray(table.xyz_w)
     nup_all = np.asarray(table.n_updates)
+
+    # Group observations by landmark slot — DROPPING stale rows first: a
+    # slot recycled by the eviction sweep (or re-targeted by a merge)
+    # between snapshot time and now pairs an old measurement with a
+    # different physical landmark; feeding those to BA actively corrupts
+    # the window (r4 diagnosis: ~8% of rows with reprojection chi2 > 1e3,
+    # all in the oldest snapshots — BA diverged and open-loop ATE got
+    # WORSE with BA on).  The snapshot's own keyframe-frame landmark
+    # position (xyz_kf) is the consistency witness: the CURRENT table
+    # position projected into the keyframe must still agree with it.
+    obs: dict[int, list[tuple[int, np.ndarray]]] = {}
+    for local_cam, m in enumerate(maps):
+        slots_m = np.asarray(m.landmark_slots)
+        sel = slots_m >= 0
+        if not sel.any():
+            continue
+        R = m.T_world_kf[:3, :3]
+        t = m.T_world_kf[:3, 3]
+        p_now = (xyz_all[slots_m[sel]] - t) @ R  # inv(T_kf) @ xyz_w
+        p_snap = np.asarray(m.xyz_kf)[sel]
+        d = np.linalg.norm(p_now - p_snap, axis=1)
+        tol = np.maximum(0.2, 0.02 * np.linalg.norm(p_snap, axis=1))
+        ok = d < tol
+        rows = np.flatnonzero(sel)[ok]
+        for row in rows:
+            obs.setdefault(int(slots_m[row]), []).append(
+                (local_cam, m.uv4[row])
+            )
+    slots = [s for s, o in obs.items() if len(o) >= MIN_OBS]
+    if len(slots) < 16:
+        return None
 
     def pow2(x):
         return 1 << max(int(np.ceil(np.log2(max(x, 1)))), 6)
@@ -90,6 +111,33 @@ def build_window_problem(engine, window: int = WINDOW, omax: int = OMAX):
         cam_fixed[ci] = False
     cam_fixed[0] = True  # gauge: anchor the oldest keyframe in the window
 
+    # Pose-pose factors between consecutive window keyframes (reference
+    # addPoseWithFactors pose edges + _setPoseEdge information,
+    # graph_optimizer.cpp:319-409, 490-526).  The measurement is the
+    # CURRENT relative pose estimate — exactly like the reference, whose
+    # edges are measured from the vertex estimates at insertion time and
+    # whose factor graph is cleared after every optimizeFactorGraph: the
+    # prior regularizes BA toward the present (closure-corrected)
+    # trajectory.  Using RAW odometry here instead re-fights the pose
+    # graph inside every window and wrecked the scale run (r4: ATE 0.36 m
+    # -> 13.7 m before this was caught).
+    gopt = engine.cfg.graph_optimization
+    info_rot = gopt.base_information_frame
+    info_trans = (
+        info_rot / gopt.base_information_frame_factor_for_translation
+        if gopt.free_translation_for_poses
+        else info_rot
+    )
+    odo_T = np.tile(np.eye(4, dtype=np.float32), (P, 1, 1))
+    odo_w = np.zeros(P, np.float32)
+    for ci in range(len(maps) - 1):
+        a, b = kf_ids[ci], kf_ids[ci + 1]
+        odo_T[ci] = (
+            np.linalg.inv(engine.kf_poses[a]) @ engine.kf_poses[b]
+        ).astype(np.float32)
+        ws = np.asarray(engine.kf_odom_weight[a:b], np.float32)
+        odo_w[ci] = 1.0 / float(np.sum(1.0 / np.maximum(ws, 1e-9)))
+
     prob = ba_mod.BAProblem(
         T_wc=jnp.asarray(T_wc),
         xyz=jnp.asarray(xyz),
@@ -99,12 +147,26 @@ def build_window_problem(engine, window: int = WINDOW, omax: int = OMAX):
         obs_mask=jnp.asarray(obs_mask),
         lm_valid=jnp.asarray(lm_valid),
         cam_fixed=jnp.asarray(cam_fixed),
+        odo_T=jnp.asarray(odo_T),
+        odo_weight=jnp.asarray(odo_w),
+        odo_info=jnp.asarray(
+            [info_trans] * 3 + [info_rot] * 3, dtype=jnp.float32
+        ),
     )
     return prob, kf_ids, slot_arr, len(slots)
 
 
-def run_windowed_ba(engine, iterations: int | None = None) -> np.ndarray | None:
+def run_windowed_ba(
+    engine,
+    iterations: int | None = None,
+    write_landmarks: bool = True,
+    write_poses: bool = True,
+    update_live: bool = True,
+) -> np.ndarray | None:
     """Build + solve the windowed BA problem and back-propagate.
+
+    The write_* switches exist for ablation (which write-back component
+    helps/hurts); production uses all three.
 
     Returns the correction applied to the newest keyframe (and the live
     pose), or None if no BA ran.
@@ -146,24 +208,38 @@ def run_windowed_ba(engine, iterations: int | None = None) -> np.ndarray | None:
     tracker = engine.tracker
 
     # Landmark write-back (graph_optimizer.cpp:478-486).
-    use = np.zeros(len(slot_arr), bool)
-    use[:n_lm] = True
-    tracker.table = lm_mod.scatter_xyz(
-        tracker.table,
-        jnp.asarray(slot_arr),
-        jnp.asarray(xyz_opt),
-        jnp.asarray(use),
-    )
+    if write_landmarks:
+        use = np.zeros(len(slot_arr), bool)
+        use[:n_lm] = True
+        tracker.table = lm_mod.scatter_xyz(
+            tracker.table,
+            jnp.asarray(slot_arr),
+            jnp.asarray(xyz_opt),
+            jnp.asarray(use),
+        )
+    if not write_poses:
+        return np.eye(4, dtype=np.float32)
 
     # Pose write-back: per-keyframe corrections inside the window propagate
     # to the stored trajectory segments; the newest keyframe's correction
-    # also moves the live pose.
+    # also moves the live pose.  Delta gate (reference
+    # minimum_estimation_delta_for_update_meters,
+    # graph_optimizer.cpp:430-450): corrections at the tracking-noise
+    # level are jitter, not information — writing them back adds variance
+    # to an otherwise smooth trajectory (r4 ablation: ungated pose
+    # write-back DOUBLED open-loop ATE), so sub-gate keyframes keep their
+    # tracker pose.
+    gate = engine.cfg.graph_optimization.minimum_estimation_delta_for_update_meters
     corrections = {}
     for ci, k in enumerate(kf_ids):
         C = (T_opt[ci] @ np.linalg.inv(engine.kf_poses[k])).astype(np.float32)
+        if np.linalg.norm(C[:3, 3]) < gate:
+            continue
         corrections[k] = C
         engine.kf_poses[k] = T_opt[ci].astype(np.float32).copy()
         engine.world_map.local_maps[k].T_world_kf = engine.kf_poses[k].copy()
+    if not corrections:
+        return np.eye(4, dtype=np.float32)
 
     traj = tracker.trajectory
     if traj:
@@ -181,13 +257,16 @@ def run_windowed_ba(engine, iterations: int | None = None) -> np.ndarray | None:
                 stacked[sel] = np.einsum("ij,fjk->fik", C, stacked[sel])
         tracker.trajectory = [stacked[f] for f in range(len(traj))]
 
-    C_last = corrections[kf_ids[-1]]
-    if hasattr(tracker, "apply_world_correction"):
-        tracker.apply_world_correction(C_last)
-    else:
-        tracker.T_world_cam = (C_last @ tracker.T_world_cam).astype(np.float32)
-    if engine.world_map._last_T is not None:
-        engine.world_map._last_T = (
-            C_last @ engine.world_map._last_T
-        ).astype(np.float32)
+    C_last = corrections.get(kf_ids[-1], np.eye(4, dtype=np.float32))
+    if update_live:
+        if hasattr(tracker, "apply_world_correction"):
+            tracker.apply_world_correction(C_last)
+        else:
+            tracker.T_world_cam = (
+                C_last @ tracker.T_world_cam
+            ).astype(np.float32)
+        if engine.world_map._last_T is not None:
+            engine.world_map._last_T = (
+                C_last @ engine.world_map._last_T
+            ).astype(np.float32)
     return C_last
