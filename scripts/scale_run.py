@@ -33,6 +33,7 @@ def run_scale(
     landmark_capacity: int = 65536,
     enable_ba: bool = True,
     verbose: bool = False,
+    config_overrides: dict | None = None,
 ) -> dict:
     import jax
 
@@ -59,6 +60,9 @@ def run_scale(
     cfg.local_map.maximum_number_of_landmarks = 512
     cfg.graph_optimization.enable_full_bundle_adjustment = enable_ba
     cfg.graph_optimization.number_of_frames_per_bundle_adjustment = 128
+    for dotted, val in (config_overrides or {}).items():
+        grp, key = dotted.split(".", 1)
+        setattr(getattr(cfg, grp), key, val)
 
     poses = synthetic.circle_trajectory(n_frames, radius=radius, laps=laps)
     world = synthetic.make_world(cam, n_points=n_points, seed=seed,
@@ -66,6 +70,14 @@ def run_scale(
 
     t_render = 0.0
     engine = SlamEngine(cam, cfg, landmark_capacity=landmark_capacity)
+    # Warm the pose-graph program tiers up front (the TPU backend has no
+    # persistent compile cache; each tier costs 1-5 s once per process and
+    # would otherwise land inside the timed loop at first-closure time).
+    from vslam_tpu.backend import pose_graph as pg
+    from vslam_tpu.system import ba_runner
+
+    pg.warm_hierarchical_buckets()
+    ba_runner.warm_windowed_ba(engine)
     t_proc = 0.0
     first_closure_map = None
     closures_after_150 = 0

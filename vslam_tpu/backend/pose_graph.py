@@ -472,10 +472,12 @@ def optimize_pose_graph_hierarchical(
     jidx = {k: n for n, k in enumerate(junc)}
     J = len(junc)
     # Generous bucket floors: every distinct (Jp, Ep, P_pad) combo costs a
-    # trace + compile-cache load (~1-2 s each over the tunnel) once per
-    # process; a handful of big buckets beats many tight ones (the dense
-    # solve at Jp=128 is still ~90 ms/call on one chip).
-    _J_FLOOR, _E_FLOOR, _P_FLOOR = 5, 6, 8  # 32, 64, 256
+    # trace + compile(-cache load) of 1-5 s once per process (measured on
+    # the tunneled chip), while a warm call is ~100 ms even at the floor
+    # sizes — so the whole production regime (up to 64 junctions / 128
+    # edges / 512 keyframes) is pinned to ONE program per stage and only
+    # outgrows it at multi-thousand-keyframe maps.
+    _J_FLOOR, _E_FLOOR, _P_FLOOR = 6, 7, 9  # 64, 128, 512
 
     # Super-edges: composed odometry between consecutive junctions with
     # series-composed scalar information (covariances add along a chain, so
@@ -498,7 +500,9 @@ def optimize_pose_graph_hierarchical(
 
     Jp = _pow2(J, floor=_J_FLOOR)
     E = len(se_i)
-    Ep = _pow2(E, floor=_E_FLOOR)
+    # Tie the edge bucket to the junction tier (E ~ 1.5 J structurally):
+    # one compiled program per Jp tier instead of a (Jp, Ep) product.
+    Ep = max(_pow2(E, floor=_E_FLOOR), 2 * Jp)
     poses_arr = np.tile(np.eye(4, dtype=np.float32), (Jp, 1, 1))
     poses_arr[:J] = poses[junc]
     ei = np.zeros(Ep, np.int32)
@@ -556,3 +560,30 @@ def optimize_pose_graph_hierarchical(
         )
     )[:P]
     return out, float(chi2)
+
+
+def warm_hierarchical_buckets(max_keyframes: int = 512):
+    """Pre-compile the hierarchical solver's program tiers.
+
+    The axon/TPU backend gets no persistent compilation cache, so every
+    process pays 1-5 s per (Jp, Ep, P_pad) combo on first use; the floors
+    + Ep/Jp coupling pin the production regime to one program per
+    junction tier — warming those three (plus the distribute program)
+    keeps all compile time out of timed loops.
+    """
+    import numpy as np
+
+    for (P, C) in ((max_keyframes // 4, 24), (max_keyframes // 2, 50),
+                   (max_keyframes - 2, 110)):
+        poses = np.tile(np.eye(4, dtype=np.float32), (P, 1, 1))
+        poses[:, 0, 3] = np.arange(P, dtype=np.float32)
+        odo = np.tile(np.eye(4, dtype=np.float32), (P - 1, 1, 1))
+        odo[:, 0, 3] = 1.0
+        closures = [
+            (i * ((P // 2) // C), P // 2 + i * ((P // 2) // C),
+             np.eye(4, dtype=np.float32))
+            for i in range(C)
+        ]
+        optimize_pose_graph_hierarchical(
+            poses, odo, np.ones(P - 1, np.float32), closures, iterations=10
+        )

@@ -82,8 +82,16 @@ def build_window_problem(engine, window: int = WINDOW, omax: int = OMAX):
     if len(slots) < 16:
         return None
 
+    # Accelerator bucket floor 2048: the TPU backend has no persistent
+    # compile cache and each landmark-bucket size costs a multi-second
+    # compile once per process; one big bucket covers the production
+    # window (16 kf x 512 snapshot rows) and the padded rows are masked
+    # vmap lanes the chip eats for free.  CPU (the test harness) keeps
+    # tight buckets — the padding would be real scalar work there.
+    floor = 6 if jax.default_backend() == "cpu" else 11
+
     def pow2(x):
-        return 1 << max(int(np.ceil(np.log2(max(x, 1)))), 6)
+        return 1 << max(int(np.ceil(np.log2(max(x, 1)))), floor)
 
     L = pow2(len(slots))
     slot_arr = np.zeros(L, np.int32)
@@ -154,6 +162,52 @@ def build_window_problem(engine, window: int = WINDOW, omax: int = OMAX):
         ),
     )
     return prob, kf_ids, slot_arr, len(slots)
+
+
+def warm_windowed_ba(engine):
+    """Pre-compile the windowed-BA solve at its production bucket (L=2048,
+    P=WINDOW) with the exact BAConfig the engine will use, so the first
+    in-loop BA pays no compile."""
+    gopt = engine.cfg.graph_optimization
+    if not gopt.enable_full_bundle_adjustment:
+        return
+    if jax.default_backend() == "cpu":
+        return  # CPU (test harness) uses tight per-problem buckets
+    L = 2048
+    rng = np.random.default_rng(0)
+    xyz = rng.uniform(-5, 5, (L, 3)).astype(np.float32)
+    xyz[:, 2] += 10.0
+    prob = ba_mod.BAProblem(
+        T_wc=jnp.asarray(np.tile(np.eye(4, dtype=np.float32), (WINDOW, 1, 1))),
+        xyz=jnp.asarray(xyz),
+        obs_cam=jnp.zeros((L, OMAX), jnp.int32),
+        obs_uv4=jnp.zeros((L, OMAX, 4), jnp.float32),
+        obs_weight=jnp.ones((L, OMAX), jnp.float32),
+        obs_mask=jnp.asarray(np.arange(OMAX)[None, :] < 2).repeat(L, axis=0),
+        lm_valid=jnp.ones(L, bool),
+        cam_fixed=jnp.asarray(np.arange(WINDOW) == 0),
+        odo_T=jnp.asarray(np.tile(np.eye(4, dtype=np.float32), (WINDOW, 1, 1))),
+        odo_weight=jnp.ones(WINDOW, jnp.float32),
+        odo_info=jnp.ones(6, jnp.float32),
+    )
+    config = ba_mod.BAConfig(
+        iterations=gopt.maximum_number_of_iterations,
+        robust_chi2=(
+            engine.cfg.tracking.aligner_maximum_error_kernel
+            if gopt.enable_robust_kernel_for_landmarks
+            else 1e12
+        ),
+    )
+    n_dev = len(jax.devices())
+    if n_dev > 1 and engine.cfg.parallelism.shard_landmarks:
+        from vslam_tpu.parallel import mesh as mesh_mod
+        from vslam_tpu.parallel import sharded_ba
+
+        sharded_ba.bundle_adjust_sharded(
+            engine.cam, prob, mesh_mod.make_mesh(), config
+        )
+    else:
+        ba_mod.bundle_adjust(engine.cam, prob, config)
 
 
 def run_windowed_ba(
