@@ -60,7 +60,7 @@ def build_window_problem(engine, window: int = WINDOW, omax: int = OMAX):
     # WORSE with BA on).  The snapshot's own keyframe-frame landmark
     # position (xyz_kf) is the consistency witness: the CURRENT table
     # position projected into the keyframe must still agree with it.
-    obs: dict[int, list[tuple[int, np.ndarray]]] = {}
+    cam_col, slot_col, uv4_col = [], [], []
     for local_cam, m in enumerate(maps):
         slots_m = np.asarray(m.landmark_slots)
         sel = slots_m >= 0
@@ -72,13 +72,33 @@ def build_window_problem(engine, window: int = WINDOW, omax: int = OMAX):
         p_snap = np.asarray(m.xyz_kf)[sel]
         d = np.linalg.norm(p_now - p_snap, axis=1)
         tol = np.maximum(0.2, 0.02 * np.linalg.norm(p_snap, axis=1))
-        ok = d < tol
-        rows = np.flatnonzero(sel)[ok]
-        for row in rows:
-            obs.setdefault(int(slots_m[row]), []).append(
-                (local_cam, m.uv4[row])
-            )
-    slots = [s for s, o in obs.items() if len(o) >= MIN_OBS]
+        rows = np.flatnonzero(sel)[d < tol]
+        if len(rows):
+            cam_col.append(np.full(len(rows), local_cam, np.int32))
+            slot_col.append(slots_m[rows])
+            uv4_col.append(np.asarray(m.uv4)[rows])
+    if not cam_col:
+        return None
+    all_cam = np.concatenate(cam_col)
+    all_slot = np.concatenate(slot_col)
+    all_uv4 = np.concatenate(uv4_col).astype(np.float32)
+
+    # Vectorized group-by-slot (the per-row Python dict loop cost ~100s of
+    # ms per BA call at production sizes): stable-sort by slot, cumcount
+    # within group, keep the LAST omax observations of each slot.
+    uniq, inv, counts = np.unique(all_slot, return_inverse=True,
+                                  return_counts=True)
+    order = np.argsort(inv, kind="stable")
+    inv_s = inv[order]
+    starts = np.r_[0, np.cumsum(counts)[:-1]]
+    cum = np.arange(len(inv_s)) - starts[inv_s]  # position within group
+    from_end = counts[inv_s] - 1 - cum
+    keep = from_end < omax
+    oi = np.minimum(counts[inv_s], omax) - 1 - from_end  # slot column
+    eligible = counts >= MIN_OBS
+    keep &= eligible[inv_s]
+    lm_ids = np.cumsum(eligible) - 1  # dense landmark index per uniq slot
+    slots = uniq[eligible]
     if len(slots) < 16:
         return None
 
@@ -97,20 +117,22 @@ def build_window_problem(engine, window: int = WINDOW, omax: int = OMAX):
     slot_arr = np.zeros(L, np.int32)
     slot_arr[: len(slots)] = slots
     xyz = np.zeros((L, 3), np.float32)
+    xyz[: len(slots)] = xyz_all[slots]
     obs_cam = np.zeros((L, omax), np.int32)
     obs_uv4 = np.zeros((L, omax, 4), np.float32)
     obs_w = np.zeros((L, omax), np.float32)
     obs_mask = np.zeros((L, omax), bool)
     lm_valid = np.zeros(L, bool)
-    for li, s in enumerate(slots):
-        xyz[li] = xyz_all[s]
-        w = 1.0 + np.log1p(float(nup_all[s]))
-        for oi, (c, uv) in enumerate(obs[s][-omax:]):
-            obs_cam[li, oi] = c
-            obs_uv4[li, oi] = uv
-            obs_w[li, oi] = w
-            obs_mask[li, oi] = True
-        lm_valid[li] = True
+    lm_valid[: len(slots)] = True
+    rows_kept = order[keep]
+    li_kept = lm_ids[inv_s[keep]]
+    oi_kept = oi[keep]
+    obs_cam[li_kept, oi_kept] = all_cam[rows_kept]
+    obs_uv4[li_kept, oi_kept] = all_uv4[rows_kept]
+    obs_w[li_kept, oi_kept] = 1.0 + np.log1p(
+        nup_all[all_slot[rows_kept]].astype(np.float64)
+    ).astype(np.float32)
+    obs_mask[li_kept, oi_kept] = True
 
     T_wc = np.tile(np.eye(4, dtype=np.float32), (P, 1, 1))
     cam_fixed = np.ones(P, bool)  # padding cameras frozen

@@ -79,6 +79,17 @@ def cmd_run(args):
         cfg.command_line.option_disable_relocalization = True
     if args.tracker_mode:
         cfg.command_line.tracker_mode = args.tracker_mode
+    if args.depth_mode:
+        cfg.command_line.tracker_mode = "RGB_DEPTH"
+    if args.use_odometry:
+        cfg.command_line.option_use_odometry = True
+        cfg.tracking.motion_model = "CAMERA_ODOMETRY"
+    if args.drop_framepoints is not None:
+        cfg.command_line.option_drop_framepoints = args.drop_framepoints
+    if args.recover_landmarks is not None:
+        cfg.command_line.option_recover_landmarks = args.recover_landmarks
+    if args.disable_bundle_adjustment:
+        cfg.graph_optimization.enable_full_bundle_adjustment = False
     if args.dump:
         cfg.visualization.enable_image_dump = True
         if args.dump is not True:
@@ -254,6 +265,29 @@ def main(argv=None):
                     help="dump per-keyframe overlays + final map plot "
                          "(optional output directory; default from the "
                          "visualization config group)")
+    # Remaining reference app flags (parameters.cpp:14-27 banner):
+    pr.add_argument("--depth-mode", action="store_true",
+                    help="RGB-D tracking (reference -dm; same as "
+                         "--tracker-mode RGB_DEPTH)")
+    pr.add_argument("--use-odometry", action="store_true",
+                    help="use external odometry instead of the inner "
+                         "motion model (reference -uo); requires a "
+                         "dataset with per-frame odometry")
+    pr.add_argument("--drop-framepoints", dest="drop_framepoints",
+                    action="store_true", default=None,
+                    help="recycle stale landmark slots at runtime "
+                         "(reference -df; on by default here)")
+    pr.add_argument("--no-drop-framepoints", dest="drop_framepoints",
+                    action="store_false",
+                    help="keep every landmark slot live (unbounded map)")
+    pr.add_argument("--recover-landmarks", dest="recover_landmarks",
+                    action="store_true", default=None,
+                    help="re-acquire lost landmarks at solved-pose "
+                         "projections (reference -rl; on by default)")
+    pr.add_argument("--no-recover-landmarks", dest="recover_landmarks",
+                    action="store_false")
+    pr.add_argument("--disable-bundle-adjustment", action="store_true",
+                    help="force periodic full BA off (reference -dba)")
     pr.add_argument("--trace-dir", default=None,
                     help="write an xprof device trace (easy_profiler parity)")
     pr.set_defaults(func=cmd_run)
