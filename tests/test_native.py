@@ -97,3 +97,73 @@ def test_union_find_large_random():
             uf.union(int(a), int(b))
     oracle = {x: uf.find(x) for x in list(uf.parent) if uf.find(x) != x}
     assert remap == oracle
+
+
+TSAN_SO = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "native", "build", "libvslam_native_tsan.so",
+)
+_TSAN_RT = "/usr/lib/x86_64-linux-gnu/libtsan.so.2"
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    not (os.path.exists(TSAN_SO) and os.path.exists(_TSAN_RT)),
+    reason="TSAN build not present (make -C native tsan)",
+)
+def test_prefetcher_tsan_clean(tmp_path):
+    """The threaded prefetcher under ThreadSanitizer: create/consume/
+    destroy cycles with more worker threads than queue slots must report
+    zero races (SURVEY §5 — the reference has no sanitizer coverage at
+    all; our native runtime runs real threads, so this is the TSAN-in-CI
+    item).  Runs in a subprocess with the TSAN runtime preloaded; pure
+    ctypes so no numpy/BLAS thread noise enters the report."""
+    import subprocess
+    import sys as _sys
+
+    # Small PGM fixtures for the workers to decode.
+    paths = []
+    for i in range(12):
+        p = tmp_path / f"f{i}.pgm"
+        payload = bytes((i * 7 + j) % 251 for j in range(64 * 48))
+        p.write_bytes(b"P5\n64 48\n255\n" + payload)
+        paths.append(str(p))
+
+    script = f"""
+import ctypes
+lib = ctypes.CDLL({TSAN_SO!r})
+u8p = ctypes.POINTER(ctypes.c_uint8)
+i32p = ctypes.POINTER(ctypes.c_int32)
+lib.vn_prefetcher_create.argtypes = [ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int, ctypes.c_int]
+lib.vn_prefetcher_create.restype = ctypes.c_void_p
+lib.vn_prefetcher_next.argtypes = [ctypes.c_void_p, u8p, ctypes.c_int64, i32p, i32p, i32p]
+lib.vn_prefetcher_next.restype = ctypes.c_int
+lib.vn_prefetcher_destroy.argtypes = [ctypes.c_void_p]
+paths = {paths!r}
+enc = [p.encode() for p in paths]
+buf = (ctypes.c_uint8 * (64 * 48 * 2))()
+h = ctypes.c_int32(); w = ctypes.c_int32(); bpp = ctypes.c_int32()
+for cycle in range(4):
+    arr = (ctypes.c_char_p * len(enc))(*enc)
+    hd = lib.vn_prefetcher_create(arr, len(enc), 5, 3)
+    # consume a PREFIX only on odd cycles: destroy must join workers
+    # mid-flight without racing the queue.
+    n = len(enc) if cycle % 2 == 0 else len(enc) // 2
+    for k in range(n):
+        rc = lib.vn_prefetcher_next(hd, buf, len(buf), ctypes.byref(h), ctypes.byref(w), ctypes.byref(bpp))
+        assert rc == 0, rc
+        assert (h.value, w.value) == (48, 64)
+    lib.vn_prefetcher_destroy(hd)
+print("TSAN_STRESS_OK")
+"""
+    env = dict(os.environ)
+    env["LD_PRELOAD"] = _TSAN_RT
+    env["TSAN_OPTIONS"] = "exitcode=66 halt_on_error=0"
+    res = subprocess.run(
+        [_sys.executable, "-c", script],
+        capture_output=True, text=True, timeout=300, env=env,
+    )
+    out = res.stdout + res.stderr
+    assert "TSAN_STRESS_OK" in out, out[-3000:]
+    assert "WARNING: ThreadSanitizer" not in out, out[-5000:]
+    assert res.returncode == 0, (res.returncode, out[-3000:])

@@ -211,8 +211,10 @@ class ParallelismParameters:
     # Frames per upload chunk / drain interval of the pipelined tracker
     # (TPU path; CPU tests always run frame-exact with chunk 1).  Larger
     # chunks amortize the per-drain tunnel round trip over more frames at
-    # the cost of keyframe-path latency.
-    frames_per_chunk: int = 16
+    # the cost of keyframe-path latency; 32 measured strictly better than
+    # 16 on both the 128-frame bench (118 -> 143 fps) and the 1536-frame
+    # scale run (32.7 -> 39.0 fps, ATE 0.11 -> 0.09 m).
+    frames_per_chunk: int = 32
 
 
 @dataclass

@@ -264,19 +264,31 @@ class SlamEngine:
                     job = self.relocalizer.vote_and_dispatch_icp(h)
                     if job is not None:
                         self._inflight_icp.append(job)
-        # Record + merge every closure, then optimize ONCE for the batch —
-        # and only when some closure actually disagrees with the current
-        # estimate (residual gate; already-satisfied closures carry no new
-        # information and re-optimizing the graph for them is pure cost).
+        # Record every closure, optimize ONCE for the batch (and only when
+        # some closure actually disagrees with the current estimate —
+        # residual gate), then merge ALL the batch's corresponding
+        # landmarks in ONE union-find + device pass.  Per-closure merging
+        # uploaded a remap LUT per closure, and each upload serializes
+        # behind the in-flight frame chunk on the tunneled link (~160
+        # ms/closure at 32-frame chunks); batching makes it one wait per
+        # drain.  Merge-after-optimize also matches the reference order
+        # (mergeLandmarks after optimizePoseGraph, world_map.cpp:305).
         new_edges = []
+        all_corr = []
         for closure in closures:
-            self._apply_closure(closure, optimize=False)
+            self._record_closure(closure)
             new_edges.append(
                 (closure.reference_id, closure.query_id, closure.T_ref_query)
             )
+            corr = np.asarray(closure.correspondences)
+            if len(corr):
+                all_corr.append(corr)
         if closures and self._closures_need_optimization(new_edges):
             with log.measure("pose_graph_optimization"):
                 self._optimize_pose_graph()
+        if all_corr:
+            with log.measure("landmark_merging"):
+                self._merge_correspondences(np.concatenate(all_corr))
 
     def _synchronous_keyframe_path(self):
         """Host-side keyframe trigger for the modular tracker (reference
@@ -385,19 +397,16 @@ class SlamEngine:
         self._maybe_run_bundle_adjustment(snap)
         return local_map
 
-    def _apply_closure(self, closure, optimize: bool = True) -> np.ndarray | None:
-        """Record + merge a verified closure; optionally run the pose-graph
-        optimization (the pipelined path batches one optimization per
-        drain over all of its closures instead — at KITTI-00 scale a
-        closure can fire on most keyframes and per-closure optimization
-        would dominate the run).  Returns the last-segment correction."""
+    def _record_closure(self, closure):
+        """Record a verified closure: world-map bookkeeping + pose-graph
+        edge.  T_ref_query maps query-keyframe coords into
+        reference-keyframe coords, i.e. the measured relative pose
+        T_{ref<-query}; the pose graph wants T_ij = T_i^-1 T_j with
+        i=reference vertex.  ONE closure edge per query map (reference
+        Relocalizer::prune keeps the best closure per query,
+        relocalizer.cpp:190-224): a re-verified query replaces its
+        previous edge."""
         self.world_map.add_closure(closure)
-        # T_ref_query maps query-keyframe coords into reference-keyframe
-        # coords, i.e. the measured relative pose T_{ref<-query}; the pose
-        # graph wants T_ij = T_i^-1 T_j with i=reference vertex.
-        # ONE closure edge per query map (reference Relocalizer::prune
-        # keeps the best closure per query, relocalizer.cpp:190-224): a
-        # re-verified query replaces its previous edge.
         edge = (closure.reference_id, closure.query_id, closure.T_ref_query)
         for k, (_, qid, _) in enumerate(self.closure_edges):
             if qid == closure.query_id:
@@ -405,6 +414,13 @@ class SlamEngine:
                 break
         else:
             self.closure_edges.append(edge)
+        return edge
+
+    def _apply_closure(self, closure, optimize: bool = True) -> np.ndarray | None:
+        """Synchronous path (modular tracker): record + optimize + merge
+        one closure; the pipelined path batches all three per drain.
+        Returns the last-segment correction."""
+        edge = self._record_closure(closure)
         correction = None
         if optimize and self._closures_need_optimization([edge]):
             with log.measure("pose_graph_optimization"):
@@ -412,8 +428,10 @@ class SlamEngine:
 
         # Merge corresponding landmarks (reference mergeLandmarks after
         # closure optimization, world_map.cpp:305).
-        with log.measure("landmark_merging"):
-            self._merge_closure_landmarks(closure)
+        corr = np.asarray(closure.correspondences)
+        if len(corr):
+            with log.measure("landmark_merging"):
+                self._merge_correspondences(corr)
 
         return correction
 
@@ -431,12 +449,13 @@ class SlamEngine:
             with log.measure("bundle_adjustment"):
                 self._run_bundle_adjustment()
 
-    def _merge_closure_landmarks(self, closure):
+    def _merge_correspondences(self, corr: np.ndarray):
+        """Merge landmark pairs from one or many closures in ONE union-find
+        + one device pass + one remap application."""
         tracker = self.tracker
         # Translate through merges already applied this run: with batched
         # query resolution a closure's correspondences may reference slots an
         # earlier closure in the same batch absorbed.
-        corr = np.asarray(closure.correspondences)
         if self._slot_remap and len(corr):
             corr = np.vectorize(lambda s: self._slot_remap.get(int(s), int(s)))(
                 corr
