@@ -74,10 +74,12 @@ def run_scale(
     # persistent compile cache; each tier costs 1-5 s once per process and
     # would otherwise land inside the timed loop at first-closure time).
     from vslam_tpu.backend import pose_graph as pg
+    from vslam_tpu.loop import relocalizer as reloc_mod
     from vslam_tpu.system import ba_runner
 
     pg.warm_hierarchical_buckets()
     ba_runner.warm_windowed_ba(engine)
+    reloc_mod.warm_icp_batches(cfg.relocalization)
     t_proc = 0.0
     first_closure_map = None
     closures_after_150 = 0

@@ -182,6 +182,19 @@ class QueryHandle:
 
 
 @dataclass
+class ICPCandidate:
+    """A vote-gate survivor awaiting geometric verification (host data
+    only — Relocalizer.dispatch_icp_batch uploads all of a drain's
+    candidates in one transfer)."""
+
+    query: LocalMap
+    reference: LocalMap
+    q_rows: np.ndarray
+    r_rows: np.ndarray
+    n: int
+
+
+@dataclass
 class ICPJob:
     """An in-flight closure ICP verification: the candidate survived the
     vote gate and its aligner has been dispatched; gate the fetched result
@@ -193,6 +206,49 @@ class ICPJob:
     r_rows: np.ndarray
     n: int
     res_dev: object  # gn.GNResult pytree (device)
+
+
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=None)
+def _batched_icp_solver(aligner_type: str, icp_config):
+    """One compiled vmapped ICP program per (aligner, config); the jit
+    cache then specializes per (batch, cap) bucket."""
+    if aligner_type == "FAST-ICP":
+        from vslam_tpu.solve import anderson
+
+        solve = anderson.fast_icp_align
+    else:
+        solve = aligners.icp_align
+
+    return jax.jit(
+        jax.vmap(lambda d, m, t: solve(d, m, t, icp_config))
+    )
+
+
+def warm_icp_batches(params, buckets=(8, 16)):
+    """Pre-compile the batched ICP verifier at its batch buckets (the TPU
+    backend has no persistent compile cache; each bucket costs ~10 s once
+    per process and would otherwise land inside the first closure-heavy
+    drain)."""
+    cap = int(getattr(params, "icp_correspondence_cap", 512))
+    icp_config = gn.GNConfig(
+        kernel_max_error=params.icp_maximum_error_kernel,
+        min_num_inliers=params.icp_minimum_number_of_inliers,
+        max_iterations=50,
+    )
+    solver = _batched_icp_solver(params.aligner_type, icp_config)
+    for B in buckets:
+        data = aligners.ICPData(
+            p_moving=jnp.zeros((B, cap, 3), jnp.float32),
+            p_fixed=jnp.zeros((B, cap, 3), jnp.float32),
+            weight=jnp.ones((B, cap), jnp.float32),
+        )
+        jax.block_until_ready(
+            solver(data, jnp.ones((B, cap), bool),
+                   jnp.tile(jnp.eye(4), (B, 1, 1)))
+        )
 
 
 class Relocalizer:
@@ -404,12 +460,18 @@ class Relocalizer:
         return self.finish_icp(job, jax.device_get(job.res_dev))
 
     def vote_and_dispatch_icp(self, handle: QueryHandle | None):
+        """Single-candidate compatibility wrapper: vote + one-element
+        dispatch_icp_batch (the pipelined engine batches all of a drain's
+        candidates instead)."""
+        jobs = self.dispatch_icp_batch([self.vote(handle)])
+        return jobs[0] if jobs else None
+
+    def vote(self, handle: QueryHandle | None):
         """Pipelined resolve, phase 1: vote per reference map on the
-        (already fetched) query result, build correspondences for the
-        winning candidate and DISPATCH its ICP verification — no device
-        sync.  Returns an ICPJob to pass to finish_icp() once its result
-        array has been fetched (the engine batches those fetches with the
-        next drain), or None if no candidate cleared the vote gate."""
+        (already fetched) query result and build correspondences for the
+        winning candidate — pure host work, no device interaction.
+        Returns an ICPCandidate for dispatch_icp_batch, or None if no
+        candidate cleared the vote gate."""
         if handle is None:
             return None
         p = self.params
@@ -489,51 +551,76 @@ class Relocalizer:
             return None
         q_rows = np.asarray([a for a, _ in pairs])
         r_rows = np.asarray([b for _, b in pairs])
-        p_moving = lm.xyz_kf[q_rows]  # query keyframe frame
-        p_fixed = ref.xyz_kf[r_rows]  # reference keyframe frame
-
-        # Geometric verification: robust point-to-point ICP.  The pair cap
-        # is configurable (icp_correspondence_cap); one fixed size keeps a
-        # single compiled aligner program.
-        n = len(pairs)
         cap = int(getattr(p, "icp_correspondence_cap", 512))
-        pad = max(cap - n, 0)
-        data = aligners.ICPData(
-            p_moving=jnp.asarray(
-                np.pad(p_moving[:cap], ((0, pad), (0, 0))).astype(np.float32)
-            ),
-            p_fixed=jnp.asarray(
-                np.pad(p_fixed[:cap], ((0, pad), (0, 0))).astype(np.float32)
-            ),
-            weight=jnp.ones(cap, jnp.float32),
+        return ICPCandidate(
+            query=lm,
+            reference=ref,
+            q_rows=q_rows,
+            r_rows=r_rows,
+            n=min(len(pairs), cap),
         )
-        mask = jnp.asarray(np.arange(cap) < min(n, cap))
+
+    def dispatch_icp_batch(self, candidates) -> list:
+        """Geometric verification for ALL of a drain's vote survivors in
+        one batch: one stacked host->device upload + one vmapped robust
+        point-to-point ICP program.  A per-candidate upload serializes
+        behind the in-flight frame chunk on the tunneled link (~80 ms
+        each, measured — the dominant closure cost at keyframe-dense
+        scale); batching pays that wait once per drain.
+
+        Returns ICPJobs whose res_dev are device-sliced per-candidate
+        results (no extra uploads).  The reference verifies candidates
+        one by one with its XYZ/FAST-ICP aligner (relocalizer.cpp:
+        177-188); the batched program computes the identical solves.
+        """
+        candidates = [c for c in candidates if c is not None]
+        if not candidates:
+            return []
+        p = self.params
+        cap = int(getattr(p, "icp_correspondence_cap", 512))
+        B = len(candidates)
+        Bp = 1 << max(int(np.ceil(np.log2(B))), 3)  # pow2 bucket, floor 8
+        mov = np.zeros((Bp, cap, 3), np.float32)
+        fix = np.zeros((Bp, cap, 3), np.float32)
+        msk = np.zeros((Bp, cap), bool)
+        T0 = np.tile(np.eye(4, dtype=np.float32), (Bp, 1, 1))
+        for i, c in enumerate(candidates):
+            lm, ref = c.query, c.reference
+            n = c.n
+            mov[i, :n] = lm.xyz_kf[c.q_rows[:n]]
+            fix[i, :n] = ref.xyz_kf[c.r_rows[:n]]
+            msk[i, :n] = True
+            # Initial guess = the CURRENT (drift-carrying) relative
+            # keyframe pose, as the reference seeds its closure aligners
+            # from the world pose estimates (xyz_aligner.cpp:13-40).
+            T0[i] = np.linalg.inv(ref.T_world_kf) @ lm.T_world_kf
+        data = aligners.ICPData(
+            p_moving=jnp.asarray(mov),
+            p_fixed=jnp.asarray(fix),
+            weight=jnp.ones((Bp, cap), jnp.float32),
+        )
         icp_config = gn.GNConfig(
             kernel_max_error=p.icp_maximum_error_kernel,
             min_num_inliers=p.icp_minimum_number_of_inliers,
             max_iterations=50,
         )
-        # Initial guess = the CURRENT (drift-carrying) relative keyframe
-        # pose, as the reference seeds its closure aligners from the world
-        # pose estimates (xyz_aligner.cpp:13-40) — ICP then only corrects
-        # the accumulated drift instead of solving a large transform from
-        # identity.
-        T0 = jnp.asarray(
-            (np.linalg.inv(ref.T_world_kf) @ lm.T_world_kf).astype(np.float32)
+        # Fork's AA-ICP (fast_aligner.cpp) is selected exactly like the
+        # reference (relocalizer.cpp:19-27); both aligners run as ONE
+        # compiled vmapped program per batch bucket.
+        batch_res = _batched_icp_solver(p.aligner_type, icp_config)(
+            data, jnp.asarray(msk), jnp.asarray(T0)
         )
-        if p.aligner_type == "FAST-ICP":
-            # Fork's AA-ICP (fast_aligner.cpp): Anderson-accelerated
-            # IRLS-Procrustes — selected exactly like the reference
-            # (relocalizer.cpp:19-27).
-            from vslam_tpu.solve import anderson
-
-            res = anderson.fast_icp_align(data, mask, T0, icp_config)
-        else:
-            res = aligners.icp_align(data, mask, T0, icp_config)
-        return ICPJob(
-            query=lm, reference=ref, q_rows=q_rows, r_rows=r_rows,
-            n=min(n, cap), res_dev=res,
-        )
+        return [
+            ICPJob(
+                query=c.query,
+                reference=c.reference,
+                q_rows=c.q_rows,
+                r_rows=c.r_rows,
+                n=c.n,
+                res_dev=jax.tree.map(lambda a, i=i: a[i], batch_res),
+            )
+            for i, c in enumerate(candidates)
+        ]
 
     def finish_icp(self, job, res) -> Closure | None:
         """Pipelined resolve, phase 2: gate a fetched ICP result and emit

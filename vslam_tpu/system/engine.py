@@ -259,11 +259,19 @@ class SlamEngine:
                 if closure is not None:
                     closures.append(closure)
             with log.measure("reloc_vote_icp"):
+                # Vote (host) per query, then verify ALL survivors with
+                # ONE batched upload + vmapped ICP program — per-candidate
+                # uploads each serialize behind the in-flight frame chunk
+                # (~80 ms measured at keyframe-dense scale).
+                cands = []
                 for h, (idx, ok) in zip(queries, fetched_q):
                     h.idx_dev, h.ok_dev = idx, ok
-                    job = self.relocalizer.vote_and_dispatch_icp(h)
-                    if job is not None:
-                        self._inflight_icp.append(job)
+                    c = self.relocalizer.vote(h)
+                    if c is not None:
+                        cands.append(c)
+                self._inflight_icp.extend(
+                    self.relocalizer.dispatch_icp_batch(cands)
+                )
         # Record every closure, optimize ONCE for the batch (and only when
         # some closure actually disagrees with the current estimate —
         # residual gate), then merge ALL the batch's corresponding
