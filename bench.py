@@ -189,11 +189,14 @@ def main():
         # budget).  Round-3 for contrast: 12.75 fps / 14.52 m ATE — the
         # chain-solver f32 divergence fixed by the hierarchical back-end.
         scale["session_measured_2048_frames"] = {
-            "fps_process_only": 48.87, "ate_rmse_m": 0.529, "ate_ok": True,
+            # fps carries large run-to-run variance from the tunneled
+            # device link's transfer throughput (26-49 fps across
+            # identical runs); ATE is stable.
+            "fps_process_only_range": [26.0, 48.9],
+            "ate_rmse_m": 0.53, "ate_ok": True,
             "path_length_m": 1020.5, "n_local_maps": 341,
             "n_closures": 205, "n_pose_graph_optimizations": 38,
             "n_ba_runs": 15, "tracking_breaks": 0,
-            "closures_after_map_150": 189,
             "no_ba_1536_frames": {"ate_rmse_m": 0.091, "fps": 39.0},
         }
     except Exception as e:  # never lose the headline metric to the extra
