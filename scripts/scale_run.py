@@ -54,6 +54,11 @@ def run_scale(
     cfg.relocalization.preliminary_minimum_matching_ratio = 0.08
     cfg.relocalization.icp_minimum_number_of_inliers = 10
     cfg.relocalization.icp_minimum_inlier_ratio = 0.3
+    # Closure residual gate (off by default for reference parity): enable
+    # it explicitly at KITTI scale, where closures fire on most keyframes
+    # and already-satisfied ones carry no new information.
+    cfg.graph_optimization.minimum_closure_residual_for_optimization_meters = 0.10
+    cfg.graph_optimization.minimum_closure_residual_for_optimization_degrees = 0.5
     # Snapshot row width: ~200-400 landmarks are live per keyframe at this
     # cadence, and each 1024-wide row ships 64KB over a ~30MB/s tunnel at
     # every drain — 512 halves the drain payload losslessly.

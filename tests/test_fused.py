@@ -124,3 +124,59 @@ def test_localizing_appearance_matching():
     # ladder cannot.
     assert ok_loc and inl_loc > 50, (inl_loc, ok_loc)
     assert not ok_win and inl_loc > 5 * max(inl_win, 1), (inl_loc, inl_win)
+
+
+def test_chunk_step_matches_per_frame_steps():
+    """The one-dispatch-per-chunk program (make_chunk_step fori_loop) is
+    EXACTLY the composition of the per-frame fused steps — bitwise on the
+    trajectory — including a short tail chunk (dynamic k)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vslam_tpu.tracking import fused as fused_mod
+
+    n = 10
+    world = synthetic.make_world(CAM, n_frames=n, n_points=2200, seed=19,
+                                 step=0.4)
+    frames = [synthetic.render_frame(world, t)[:2] for t in range(n)]
+    cfg = make_cfg()
+    tracker = FusedPoseTracker(CAM, cfg, landmark_capacity=16384)
+    params = tracker.params
+    step = fused_mod.make_frame_step(params)
+    chunk_step = fused_mod.make_chunk_step(params)
+
+    C = 4  # chunk capacity; last chunk holds only 2 frames
+    chunks = []
+    for i in range(0, n, C):
+        group = frames[i : i + C]
+        buf = np.zeros((C, 2) + group[0][0].shape, np.uint8)
+        for j, (l, r) in enumerate(group):
+            buf[j] = np.stack([l, r]).astype(np.uint8)
+        chunks.append((jnp.asarray(buf), len(group)))
+
+    odom = jnp.tile(jnp.eye(4), (C, 1, 1))
+    motion = jnp.asarray(True)
+    no_odom = jnp.asarray(False)
+
+    s_ref = fused_mod.init_state(CAM, params, 16384, 20.0)
+    for chunk, k in chunks:
+        for i in range(k):
+            s_ref, _ = step(CAM, s_ref, chunk, jnp.int32(i), motion, odom,
+                            no_odom)
+
+    s_chunk = fused_mod.init_state(CAM, params, 16384, 20.0)
+    for chunk, k in chunks:
+        s_chunk = chunk_step(CAM, s_chunk, chunk, jnp.int32(k), motion,
+                             odom, no_odom)
+
+    np.testing.assert_allclose(
+        np.asarray(s_chunk.ring), np.asarray(s_ref.ring), rtol=0, atol=0
+    )
+    np.testing.assert_array_equal(
+        np.asarray(s_chunk.kf_n), np.asarray(s_ref.kf_n)
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_chunk.T_world_cam), np.asarray(s_ref.T_world_cam),
+        rtol=0, atol=0,
+    )
+    assert int(s_chunk.frame_idx) == n

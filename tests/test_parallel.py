@@ -3,6 +3,7 @@ no-cluster multi-host harness, SURVEY.md §4): sharded Schur BA must agree
 with the single-device solver; sharded Hamming search with brute force."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -12,6 +13,12 @@ from vslam_tpu.parallel import sharded_ba, sharded_search
 from vslam_tpu.ops import hamming
 
 from test_backend import make_ba_problem, CAM
+
+from vslam_tpu.ops import camera as cam_ops
+
+# Engine-scale camera for the closed-loop mesh-invariance test.
+CAM_E = cam_ops.make_camera(fx=500.0, fy=500.0, cx=320.0, cy=160.0,
+                            baseline_m=0.4, rows=320, cols=640)
 
 RNG = np.random.default_rng(13)
 
@@ -123,3 +130,64 @@ def test_sharded_top2_all_masked():
     )
     assert int(np.asarray(d1).min()) == 511
     assert int(np.asarray(d2).min()) == 511
+
+
+@pytest.mark.slow
+def test_engine_closed_loop_mesh_invariance():
+    """A closed-loop engine run on the 8-virtual-device mesh (sharded
+    descriptor DB + sharded landmarks, the >1-device default) produces
+    the same trajectory as the explicitly-unsharded run — closures fire
+    in both and corrections agree to f32 tolerance (VERDICT r4 #7:
+    sharding must be a pure execution detail, never a semantics change).
+    """
+    from vslam_tpu.io import synthetic
+    from vslam_tpu.io.config import ParameterCollection
+    from vslam_tpu.system.engine import SlamEngine
+    from vslam_tpu.eval import trajectory as traj_eval
+
+    def make_cfg(sharded: bool):
+        cfg = ParameterCollection()
+        cfg.framepoint_generation.capacity = 512
+        cfg.framepoint_generation.bin_size_pixels = 12
+        cfg.world_map.minimum_distance_traveled_for_local_map = 0.8
+        cfg.world_map.minimum_number_of_frames_for_local_map = 2
+        cfg.relocalization.preliminary_minimum_interspace_queries = 6
+        cfg.relocalization.preliminary_minimum_matching_ratio = 0.08
+        cfg.relocalization.icp_minimum_number_of_inliers = 8
+        cfg.relocalization.icp_minimum_inlier_ratio = 0.3
+        cfg.graph_optimization.enable_full_bundle_adjustment = True
+        cfg.graph_optimization.number_of_frames_per_bundle_adjustment = 24
+        cfg.parallelism.shard_descriptor_db = sharded
+        cfg.parallelism.shard_landmarks = sharded
+        return cfg
+
+    n_frames = 64
+    poses = synthetic.circle_trajectory(n_frames, radius=7.0)
+    world = synthetic.make_world(CAM_E, n_points=2200, seed=21, poses=poses)
+    frames = [synthetic.render_frame(world, t)[:2] for t in range(n_frames)]
+
+    trajs, reports = [], []
+    for sharded in (False, True):
+        engine = SlamEngine(CAM_E, make_cfg(sharded), landmark_capacity=32768)
+        if sharded:
+            assert engine.mesh is not None and engine.mesh.size == 8
+        else:
+            assert engine.mesh is None
+        for img_l, img_r in frames:
+            engine.process(img_l, img_r)
+        trajs.append(engine.trajectory)
+        reports.append(engine.report())
+
+    for rep in reports:
+        assert rep["n_closures"] >= 1, rep
+        assert rep["n_optimizations"] >= 1, rep
+        assert rep["n_ba_runs"] >= 1, rep
+    # Same closure structure and trajectory to f32 tolerance.
+    assert reports[0]["n_local_maps"] == reports[1]["n_local_maps"]
+    d = np.linalg.norm(
+        trajs[0][:, :3, 3] - trajs[1][:, :3, 3], axis=1
+    )
+    assert d.max() < 1e-2, d.max()
+    rmse0, _, _ = traj_eval.ate_rmse(trajs[0], world.poses)
+    rmse1, _, _ = traj_eval.ate_rmse(trajs[1], world.poses)
+    assert abs(rmse0 - rmse1) < 1e-3, (rmse0, rmse1)

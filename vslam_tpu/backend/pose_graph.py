@@ -96,7 +96,7 @@ def optimize_pose_graph(
     P = graph.poses.shape[0]
 
     def one_iter(carry, _):
-        poses, prev_chi2, mu = carry
+        poses, prev_chi2, mu = carry[0], carry[1], carry[2]
         r, Ji, Jj = jax.vmap(
             lambda i, j, T: _edge_residual_jac(poses, i, j, T)
         )(graph.edge_i, graph.edge_j, graph.edge_T_ij)
@@ -145,20 +145,35 @@ def optimize_pose_graph(
         new_poses = jnp.where(ok, new_poses, poses)
         total_chi2 = jnp.sum(chi2 * w)
         if levenberg:
+            # g2o-style LM step control (ADVICE r4): total_chi2 is the
+            # chi2 of the INCOMING iterate.  A non-improving iterate is
+            # rejected — the next linearization restarts from the best
+            # iterate seen, with raised damping — and the best (poses,
+            # chi2) pair is carried so the solver returns the lowest-chi2
+            # iterate instead of whatever the last step produced.
+            best_poses, best_chi2 = carry[3], carry[4]
+            improved = total_chi2 < best_chi2
+            best_poses = jnp.where(improved, poses, best_poses)
+            best_chi2 = jnp.minimum(total_chi2, best_chi2)
             mu_next = jnp.clip(
-                jnp.where(total_chi2 < prev_chi2, mu * 0.5, mu * 4.0),
-                damping, 1e2,
+                jnp.where(improved, mu * 0.5, mu * 4.0), damping, 1e2,
             )
-        else:
-            mu_next = mu
-        return (new_poses, total_chi2, mu_next), total_chi2
+            next_poses = jnp.where(improved, new_poses, best_poses)
+            return (
+                (next_poses, total_chi2, mu_next, best_poses, best_chi2),
+                total_chi2,
+            )
+        return (new_poses, total_chi2, mu, poses, total_chi2), total_chi2
 
-    (poses, _, _), chi2s = jax.lax.scan(
+    (poses, _, _, best_poses, best_chi2), chi2s = jax.lax.scan(
         one_iter,
-        (graph.poses, jnp.float32(jnp.inf), jnp.float32(damping)),
+        (graph.poses, jnp.float32(jnp.inf), jnp.float32(damping),
+         graph.poses, jnp.float32(jnp.inf)),
         None,
         length=iterations,
     )
+    if levenberg:
+        return best_poses, best_chi2
     return poses, chi2s[-1]
 
 
@@ -268,7 +283,7 @@ def optimize_pose_graph_chain(
     from vslam_tpu.solve import gn as gn_mod
 
     def one_iter(carry, _):
-        poses, prev_chi2, mu = carry
+        poses, prev_chi2, mu = carry[0], carry[1], carry[2]
         # ---- odometry (chain) edges: block-diagonal in u-space --------
         r_o, J_o = jax.vmap(
             lambda i, j, T: _edge_residual_jac_j(poses, i, j, T)
@@ -349,20 +364,31 @@ def optimize_pose_graph_chain(
         new_poses = jnp.where(ok, new_poses, poses)
         total_chi2 = jnp.sum(chi2_o * w_o) + jnp.sum(chi2_c * w_c)
         if levenberg:
+            # g2o-style LM step control with best-iterate carry (ADVICE
+            # r4; see optimize_pose_graph for the rationale).
+            best_poses, best_chi2 = carry[3], carry[4]
+            improved = total_chi2 < best_chi2
+            best_poses = jnp.where(improved, poses, best_poses)
+            best_chi2 = jnp.minimum(total_chi2, best_chi2)
             mu_next = jnp.clip(
-                jnp.where(total_chi2 < prev_chi2, mu * 0.5, mu * 4.0),
-                damping, 1e2,
+                jnp.where(improved, mu * 0.5, mu * 4.0), damping, 1e2,
             )
-        else:
-            mu_next = mu
-        return (new_poses, total_chi2, mu_next), total_chi2
+            next_poses = jnp.where(improved, new_poses, best_poses)
+            return (
+                (next_poses, total_chi2, mu_next, best_poses, best_chi2),
+                total_chi2,
+            )
+        return (new_poses, total_chi2, mu, poses, total_chi2), total_chi2
 
-    (poses, _, _), chi2s = jax.lax.scan(
+    (poses, _, _, best_poses, best_chi2), chi2s = jax.lax.scan(
         one_iter,
-        (graph.poses, jnp.float32(jnp.inf), jnp.float32(damping)),
+        (graph.poses, jnp.float32(jnp.inf), jnp.float32(damping),
+         graph.poses, jnp.float32(jnp.inf)),
         None,
         length=iterations,
     )
+    if levenberg:
+        return best_poses, best_chi2
     return poses, chi2s[-1]
 
 

@@ -181,13 +181,15 @@ class GraphOptimizationParameters:
     # Landmark vertex id offset in g2o exports (reference parameters.h:362).
     identifier_space: int = 1_000_000_000
     # TPU-native additions (no reference counterpart — the reference
-    # re-optimizes on every relocalized frame, slam_assembly.cpp:576-579;
-    # at KITTI-00 scale closures fire on most keyframes and already-
-    # satisfied ones carry no new information):
+    # re-optimizes on every relocalized frame, slam_assembly.cpp:576-579):
     # skip the optimization when every pending closure edge agrees with
-    # the current estimate within these bounds.
-    minimum_closure_residual_for_optimization_meters: float = 0.10
-    minimum_closure_residual_for_optimization_degrees: float = 0.5
+    # the current estimate within these bounds.  Default 0.0 = gate OFF
+    # (reference parity: optimize on every verified closure) — a nonzero
+    # default silently disabled closure corrections on small indoor
+    # scenes whose drift never exceeds the gate (ADVICE r4).  The
+    # KITTI-scale bench/scale configs enable it explicitly.
+    minimum_closure_residual_for_optimization_meters: float = 0.0
+    minimum_closure_residual_for_optimization_degrees: float = 0.0
     # Closure-edge compaction cell for the hierarchical solver: one edge
     # kept per (ref//b, query//b) neighborhood (backend/pose_graph.py).
     closure_compaction_bucket: int = 4
@@ -393,11 +395,25 @@ def load_config(path: Optional[str] = None, overrides: Optional[dict] = None) ->
                     print(f"[config] ignoring unknown key '{group_name}/{key}'")
     for dotted, val in (overrides or {}).items():
         group_name, key = dotted.split(".", 1)
+        target_name = _GROUP_ALIASES.get(group_name)
+        if target_name is None:
+            print(f"[config] ignoring unknown override group '{group_name}'")
+            continue
+        # Same alias resolution + warn-and-ignore as the YAML path: a
+        # reference spelling that works in YAML must work as an override
+        # too (ADVICE r4 — getattr on an unknown key crashed here).
         key = _KEY_ALIASES.get(key, key)
-        group = getattr(cfg, _GROUP_ALIASES[group_name])
+        key = _GROUP_KEY_ALIASES.get((target_name, key), key)
+        group = getattr(cfg, target_name)
+        if not hasattr(group, key):
+            print(f"[config] ignoring unknown override '{dotted}'")
+            continue
         cur = getattr(group, key)
-        setattr(group, key, type(cur)(val) if cur is not None else val)
-        explicit.add(f"{_GROUP_ALIASES[group_name]}.{key}")
+        try:
+            setattr(group, key, type(cur)(val) if cur is not None else val)
+        except (TypeError, ValueError):
+            setattr(group, key, val)
+        explicit.add(f"{target_name}.{key}")
     fp = cfg.framepoint_generation
     det = fp.detector_type.upper()
     if det in _DETECTOR_ALIASES:

@@ -227,6 +227,12 @@ def _batched_icp_solver(aligner_type: str, icp_config):
     )
 
 
+# Largest batched-ICP compile bucket: dispatch_icp_batch never pads past
+# this (bigger drains split), so warming these buckets covers every
+# possible in-loop shape.
+ICP_MAX_BATCH = 16
+
+
 def warm_icp_batches(params, buckets=(8, 16)):
     """Pre-compile the batched ICP verifier at its batch buckets (the TPU
     backend has no persistent compile cache; each bucket costs ~10 s once
@@ -403,6 +409,15 @@ class Relocalizer:
         from vslam_tpu.utils import log
 
         S = len(lms)
+        # _query_and_insert_many is exact w.r.t. the sequential path ONLY
+        # for S <= interspace (within-batch maps must stay mutually
+        # ineligible; the fused program queries pre-insert db state).
+        # The split above guarantees it — assert so a future cadence
+        # change cannot silently alter closure semantics (VERDICT r4 #8).
+        assert S <= interspace, (
+            f"relocalizer batch of {S} maps exceeds interspace "
+            f"{interspace}: fused query+insert would see within-batch rows"
+        )
         CAP = self.QUERY_CAP
         prefix = self._active_prefix()  # pre-insert rows (queries see these)
         with log.measure("reloc_stage"):
@@ -576,6 +591,17 @@ class Relocalizer:
         candidates = [c for c in candidates if c is not None]
         if not candidates:
             return []
+        # Clamp the batch to the largest warmed compile bucket: a drain
+        # with more vote survivors than ICP_MAX_BATCH must not trigger an
+        # unwarmed in-loop compile (~10 s on the cache-less TPU backend,
+        # ADVICE r4) — the overflow verifies in further batches instead.
+        if len(candidates) > ICP_MAX_BATCH:
+            out = []
+            for i in range(0, len(candidates), ICP_MAX_BATCH):
+                out.extend(
+                    self.dispatch_icp_batch(candidates[i : i + ICP_MAX_BATCH])
+                )
+            return out
         p = self.params
         cap = int(getattr(p, "icp_correspondence_cap", 512))
         B = len(candidates)

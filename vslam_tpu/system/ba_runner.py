@@ -309,7 +309,10 @@ def run_windowed_ba(
     corrections = {}
     for ci, k in enumerate(kf_ids):
         C = (T_opt[ci] @ np.linalg.inv(engine.kf_poses[k])).astype(np.float32)
-        if np.linalg.norm(C[:3, 3]) < gate:
+        # Full matrix-difference norm, as the reference gates on
+        # (graph_optimizer.cpp:433): a rotation-only correction above
+        # threshold must not be discarded (ADVICE r4).
+        if np.linalg.norm(C - np.eye(4, dtype=np.float32)) < gate:
             continue
         corrections[k] = C
         engine.kf_poses[k] = T_opt[ci].astype(np.float32).copy()

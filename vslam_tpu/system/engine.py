@@ -590,7 +590,14 @@ class SlamEngine:
         # downstream moves for it.
         gate = self.cfg.graph_optimization.minimum_estimation_delta_for_update_meters
         if gate > 0.0:
-            small = np.linalg.norm(corrections[:, :3, 3], axis=1) < gate
+            # Full matrix-difference norm (graph_optimizer.cpp:433): a
+            # rotation-only correction above threshold must propagate too.
+            small = (
+                np.linalg.norm(
+                    corrections - np.eye(4, dtype=np.float32), axis=(1, 2)
+                )
+                < gate
+            )
             if small.any():
                 corrections[small] = np.eye(4, dtype=np.float32)
                 opt_poses = opt_poses.copy()

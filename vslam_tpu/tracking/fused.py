@@ -197,7 +197,11 @@ class FusedParams(NamedTuple):
 
 def init_state(cam: cam_ops.CameraParams, params: FusedParams,
                landmark_capacity: int, threshold0: float) -> TrackerState:
-    KR, K = params.kf_ring_size, params.capacity
+    # Snapshot rows are kf_max_landmarks wide (NOT full keypoint
+    # capacity): n_snap is clamped there anyway, and every extra column
+    # rides the drain readback over the tunnel at every drain
+    # (VERDICT r4 #1a — slim drain payloads).
+    KR, K = params.kf_ring_size, min(params.kf_max_landmarks, params.capacity)
     return TrackerState(
         prev=frame_mod.empty_frame(params.capacity),
         table=lm_mod.empty_table(landmark_capacity),
@@ -236,7 +240,11 @@ def gather_kf_rows(kf_pose, kf_frame_idx, kf_n, kf_slots, kf_xyz, kf_desc,
 
 
 # Speculative keyframe window shipped with every drain (see drain_bundle).
-KF_WINDOW = 24
+# Sized for the densest realistic cadence (1 keyframe per ~3 frames at a
+# 32-frame drain interval -> <= 12 new rows); rarer overflows fall back to
+# an explicit gather_kf_rows round trip.  Every row here rides EVERY
+# drain's readback, so the window stays tight (VERDICT r4 #1a).
+KF_WINDOW = 14
 
 
 @jax.jit
@@ -527,9 +535,10 @@ def _step_tail(cam, params: FusedParams, track_fn, state: TrackerState,
 
     def take_snapshot(args):
         kf_pose, kf_fidx, kf_n, kf_slots, kf_xyz, kf_desc, kf_uv4, prot = args
-        n_snap = jnp.minimum(n_lm_backed, params.kf_max_landmarks)
-        perm = frame_mod.stable_partition_perm(lm_backed)
-        rank = jnp.arange(params.capacity)
+        KW = kf_slots.shape[1]  # snapshot row width (= kf_max_landmarks)
+        n_snap = jnp.minimum(n_lm_backed, KW)
+        perm = frame_mod.stable_partition_perm(lm_backed)[:KW]
+        rank = jnp.arange(KW)
         slots_s = jnp.where(rank < n_snap, cur.landmark_slot[perm], -1)
         g = jnp.maximum(slots_s, 0)
         row = state.kf_count % params.kf_ring_size
@@ -761,6 +770,56 @@ def make_frame_step(params: FusedParams, depth_calib=None):
 
 
 @_memoized
+def make_chunk_step(params: FusedParams, depth_calib=None):
+    """ONE dispatch per frame chunk: the k per-frame fused steps run as a
+    single XLA program — a `lax.fori_loop` whose body is exactly the
+    make_frame_step body (same `_front_end` + `_step_tail`, so the two
+    paths cannot diverge; equivalence pinned by
+    tests/test_fused.py::test_chunk_step_matches_per_frame_steps).
+
+    Motivation (VERDICT r4 #1b): with per-frame dispatch the host issues
+    k jitted calls per chunk, each paying pytree flatten + tunnel-RPC
+    launch overhead — measured 4.8 ms/frame of `frame_step_dispatch` on
+    the 32-frame-chunk closed-loop bench, more than half the frame
+    budget.  Rolling the chunk into one program makes dispatch cost
+    O(1) per chunk.  `k` is a traced scalar (the tail chunk of a run is
+    shorter), so one compiled program serves every chunk length.
+
+    This replaces the reference's serial per-frame loop
+    (slam_assembly.cpp:361-489) at the dispatch level; the per-frame
+    sequential semantics are preserved exactly by the loop carry.
+    """
+    track_fn = (
+        frame_mod.track_and_align
+        if params.mode == "stereo"
+        else frame_mod.track_and_align_uvd
+    )
+
+    @jax.jit
+    def chunk_step(cam, state: TrackerState, chunk, k, motion_model_on,
+                   odom_chunk, use_odom):
+        def body(i, st):
+            imgs = jax.lax.dynamic_index_in_dim(chunk, i, 0, keepdims=False)
+            img_l = imgs[0].astype(jnp.float32)
+            img_r = _register_depth_input(
+                cam, params, imgs[1].astype(jnp.float32), depth_calib
+            )
+            cur, n_kp, n_fp, planes = _front_end(cam, params, st, img_l,
+                                                 img_r)
+            T_odom = jax.lax.dynamic_index_in_dim(
+                odom_chunk, i, 0, keepdims=False
+            )
+            new_st, _ = _step_tail(cam, params, track_fn, st, cur, n_kp,
+                                   n_fp, planes, img_l, img_r,
+                                   motion_model_on, T_odom, use_odom)
+            return new_st
+
+        return jax.lax.fori_loop(0, k, body, state)
+
+    return chunk_step
+
+
+@_memoized
 def make_chunk_frontend(params: FusedParams, depth_calib=None):
     """Batched front-end over a whole frame chunk — the data-parallel
     half of the split pipeline (SURVEY §2.9 "batch/data parallelism of the
@@ -774,44 +833,95 @@ def make_chunk_frontend(params: FusedParams, depth_calib=None):
     The detector threshold is shared across the chunk (the sequential
     controller still updates it chunk-to-chunk via the track steps).
     """
-    want_planes = params.enable_recovery and params.descriptor != "ORB256"
-
     @jax.jit
     def frontend(cam, threshold, chunk):
-        def one(pair):
-            img_l = pair[0].astype(jnp.float32)
-            img_r = _register_depth_input(
-                cam, params, pair[1].astype(jnp.float32), depth_calib
-            )
-            if params.mode == "stereo":
-                out = frame_mod.stereo_frontend_core(
-                    cam, img_l, img_r, threshold,
-                    jnp.int32(params.max_hamming_stereo),
-                    jnp.float32(params.epipolar_tol),
-                    jnp.float32(params.min_disparity),
-                    jnp.float32(params.max_disparity),
-                    capacity=params.capacity,
-                    bin_size=params.bin_size,
-                    border=params.border,
-                    descriptor=params.descriptor,
-                    detector=params.detector,
-                    want_planes=want_planes,
-                    octaves=params.octaves,
-                )
-                return out if want_planes else out + (None,)
-            out = frame_mod.process_depth_frame(
-                cam, img_l, img_r, threshold,
-                jnp.float32(params.min_depth), jnp.float32(params.max_depth),
-                capacity=params.capacity, bin_size=params.bin_size,
-                border=params.border, descriptor=params.descriptor,
-                detector=params.detector, want_planes=want_planes,
-                octaves=params.octaves,
-            )
-            return out if want_planes else out + (None,)
-
-        return jax.vmap(one)(chunk)
+        return jax.vmap(
+            lambda pair: _frontend_one(cam, params, threshold, pair,
+                                       depth_calib)
+        )(chunk)
 
     return frontend
+
+
+def _frontend_one(cam, params: FusedParams, threshold, pair, depth_calib):
+    """Per-frame front-end body of the batched (split) pipeline — shared
+    by make_chunk_frontend and make_chunk_step_split so the two cannot
+    diverge.  Returns (FrameState, n_kp, n_fp, planes|None)."""
+    want_planes = params.enable_recovery and params.descriptor != "ORB256"
+    img_l = pair[0].astype(jnp.float32)
+    img_r = _register_depth_input(
+        cam, params, pair[1].astype(jnp.float32), depth_calib
+    )
+    if params.mode == "stereo":
+        out = frame_mod.stereo_frontend_core(
+            cam, img_l, img_r, threshold,
+            jnp.int32(params.max_hamming_stereo),
+            jnp.float32(params.epipolar_tol),
+            jnp.float32(params.min_disparity),
+            jnp.float32(params.max_disparity),
+            capacity=params.capacity,
+            bin_size=params.bin_size,
+            border=params.border,
+            descriptor=params.descriptor,
+            detector=params.detector,
+            want_planes=want_planes,
+            octaves=params.octaves,
+        )
+        return out if want_planes else out + (None,)
+    out = frame_mod.process_depth_frame(
+        cam, img_l, img_r, threshold,
+        jnp.float32(params.min_depth), jnp.float32(params.max_depth),
+        capacity=params.capacity, bin_size=params.bin_size,
+        border=params.border, descriptor=params.descriptor,
+        detector=params.detector, want_planes=want_planes,
+        octaves=params.octaves,
+    )
+    return out if want_planes else out + (None,)
+
+
+@_memoized
+def make_chunk_step_split(params: FusedParams, depth_calib=None):
+    """One-dispatch-per-chunk variant of the SPLIT pipeline: the batched
+    (vmapped) front-end for all k frames and the fori_loop over the
+    sequential tracking tail run as a single XLA program.  Same
+    semantics as make_chunk_frontend + k make_track_step calls (the
+    detector threshold is shared across the chunk, exactly as in the
+    dispatched split path); one launch instead of k+1."""
+    track_fn = (
+        frame_mod.track_and_align
+        if params.mode == "stereo"
+        else frame_mod.track_and_align_uvd
+    )
+
+    @jax.jit
+    def chunk_step(cam, state: TrackerState, chunk, k, motion_model_on,
+                   odom_chunk, use_odom):
+        frames_b, n_kp_b, n_fp_b, planes_b = jax.vmap(
+            lambda pair: _frontend_one(cam, params, state.threshold, pair,
+                                       depth_calib)
+        )(chunk)
+
+        def body(i, st):
+            pick = lambda a: jax.lax.dynamic_index_in_dim(
+                a, i, 0, keepdims=False
+            )
+            cur = jax.tree.map(pick, frames_b)
+            planes = None if planes_b is None else pick(planes_b)
+            imgs = pick(chunk)
+            img_l = imgs[0].astype(jnp.float32)
+            img_r = _register_depth_input(
+                cam, params, imgs[1].astype(jnp.float32), depth_calib
+            )
+            new_st, _ = _step_tail(
+                cam, params, track_fn, st, cur, pick(n_kp_b), pick(n_fp_b),
+                planes, img_l, img_r, motion_model_on, pick(odom_chunk),
+                use_odom,
+            )
+            return new_st
+
+        return jax.lax.fori_loop(0, k, body, state)
+
+    return chunk_step
 
 
 @_memoized

@@ -510,12 +510,20 @@ class FusedPoseTracker:
             ),
         )
         depth_calib = _depth_calibration(fp)
+        # Per-frame builders serve the exact chunk_size==1 (CPU test)
+        # path; the chunk builders roll a whole chunk's steps into ONE
+        # dispatched program for the TPU path (builders are lazy — no
+        # tracing happens until first call).
         if self.params.split_frontend:
             self._frontend = fused.make_chunk_frontend(self.params, depth_calib)
             self._track_step = fused.make_track_step(self.params, depth_calib)
             self._step = None
+            self._chunk_step = fused.make_chunk_step_split(
+                self.params, depth_calib
+            )
         else:
             self._step = fused.make_frame_step(self.params, depth_calib)
+            self._chunk_step = fused.make_chunk_step(self.params, depth_calib)
         self.state = fused.init_state(
             cam, self.params, landmark_capacity,
             fp.detector_threshold_starting_value,
@@ -550,6 +558,7 @@ class FusedPoseTracker:
         self._odom_buf: list[np.ndarray] = []
         # Pre-staged device constants (avoids a tiny upload per step).
         self._idx = [jnp.int32(i) for i in range(self.chunk_size)]
+        self._k_cache: dict[int, jnp.ndarray] = {}
         self._motion = jnp.asarray(self.motion_model_on)
         self._use_odom_false = jnp.asarray(False)
         self._odom_identity = jax.device_put(
@@ -753,6 +762,16 @@ class FusedPoseTracker:
         use_odom = (
             jnp.asarray(True) if self.odometry_on else self._use_odom_false
         )
+        if self.chunk_size > 1:
+            # ONE dispatch covers the whole chunk (fused fori_loop over
+            # the per-frame steps — VERDICT r4 #1b); k is a traced scalar
+            # so tail chunks reuse the same compiled program.
+            self.state = self._chunk_step(
+                self.cam, self.state, dev, self._k_dev(k), self._motion,
+                odom_dev, use_odom,
+            )
+            self._dispatched += k
+            return
         if self.params.split_frontend:
             # Split pipeline: ONE batched front-end dispatch for the chunk,
             # then k sequential track steps consuming precomputed frames.
@@ -773,6 +792,13 @@ class FusedPoseTracker:
                 odom_dev, use_odom,
             )
         self._dispatched += k
+
+    def _k_dev(self, k: int):
+        """Staged device scalar for the chunk-step frame count."""
+        h = self._k_cache.get(k)
+        if h is None:
+            h = self._k_cache[k] = jnp.int32(k)
+        return h
 
     # -- prefetch path ---------------------------------------------------
     def prestage(self, frame_pairs) -> list:
