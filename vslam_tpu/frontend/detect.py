@@ -81,8 +81,16 @@ def fast_score_map(
         return jnp.max(wsum, axis=0) == arc_len
 
     is_corner = arc_exists(bright) | arc_exists(dark)
-    bright_excess = jnp.sum(jnp.maximum(circ - center - threshold, 0.0), axis=0)
-    dark_excess = jnp.sum(jnp.maximum(center - circ - threshold, 0.0), axis=0)
+    # Sequential accumulation (not jnp.sum): bit-identical to the fused
+    # Pallas front-end kernel's tap loop (pallas_frontend.py), so the two
+    # paths agree exactly on the interior.
+    bright_excess = jnp.zeros_like(img)
+    dark_excess = jnp.zeros_like(img)
+    hi = img + threshold
+    lo = img - threshold
+    for kk in range(16):
+        bright_excess = bright_excess + jnp.maximum(circ[kk] - hi, 0.0)
+        dark_excess = dark_excess + jnp.maximum(lo - circ[kk], 0.0)
     score = jnp.maximum(bright_excess, dark_excess)
     return jnp.where(is_corner, score, 0.0)
 
@@ -242,8 +250,16 @@ def _detect_level(img, threshold, bin_size, capacity, border, detector):
 
     Returns (uv (K,2) level-local pixel coords, score (K,), valid (K,)).
     """
-    H, W = img.shape
     score = nms3(score_map(img, threshold, detector))
+    return keypoints_from_score(score, bin_size, capacity, border)
+
+
+def keypoints_from_score(score, bin_size, capacity, border):
+    """Binning tail of the detection pipeline: border mask -> per-bin
+    argmax -> top-K over an ALREADY-NMS'd score map (shared by the XLA
+    path above and the fused Pallas front-end kernel, which emits the
+    NMS'd score map directly — pallas_frontend.py)."""
+    H, W = score.shape
 
     # Mask out the border (descriptor patch margin).
     rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)

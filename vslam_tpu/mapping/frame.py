@@ -44,6 +44,11 @@ from vslam_tpu.ops import camera as cam_ops
 from vslam_tpu.ops import lie
 from vslam_tpu.solve import aligners, gn
 
+# Trace-time switch for the fused Pallas detection/description kernel
+# (pallas_frontend.py) on TPU; the staged path stays available for A/B
+# measurement and as the fallback for non-FAST detectors / multi-octave.
+_ENABLE_FUSED_FRONTEND = True
+
 
 class FrameState(NamedTuple):
     """Stereo framepoints of one frame (capacity K, masked, compacted)."""
@@ -153,6 +158,53 @@ def stereo_frontend_core(
     (2, 8, H, W) dense descriptor planes for downstream re-description at
     arbitrary coordinates (landmark recovery).  octaves > 1 detects and
     describes over a 2x image pyramid (scale robustness)."""
+    d_up = detector.upper()
+    if (
+        _ENABLE_FUSED_FRONTEND
+        and descriptor == "BRIEF256"
+        and octaves == 1
+        and d_up in ("FAST", "FAST9", "AGAST", "FAST12")
+        and brief._use_pallas()
+    ):
+        # Fused TPU front-end: ONE Pallas pass computes box blur + BRIEF
+        # planes + NMS'd FAST scores for both images (pallas_frontend.py;
+        # interior-bit-exact vs the staged path below, ~3.3x faster).
+        from vslam_tpu.frontend import pallas_frontend
+
+        planes, score, rowmax, rowarg = (
+            pallas_frontend.fast_brief_frontend_pair(
+                jnp.stack([img_l, img_r]).astype(jnp.float32),
+                threshold,
+                arc_len=12 if d_up == "FAST12" else 9,
+                border=border,
+                bin_size=bin_size,
+            )
+        )
+        H, W = img_l.shape
+
+        def _kp(b):
+            if bin_size == pallas_frontend._BAND:
+                uv, s, va = pallas_frontend.keypoints_from_band_reduction(
+                    rowmax[b], rowarg[b], H, W, bin_size, capacity
+                )
+            else:
+                uv, s, va = detect.keypoints_from_score(
+                    score[b], bin_size, capacity, border
+                )
+            return detect.Keypoints(
+                uv=uv, score=s, valid=va,
+                octave=jnp.zeros(capacity, jnp.int32),
+            )
+
+        kl, kr = _kp(0), _kp(1)
+        dl = brief.gather_descriptors(planes[0], img_l.shape, kl.uv)
+        dr = brief.gather_descriptors(planes[1], img_r.shape, kr.uv)
+        if not want_planes:
+            planes = None
+        return _stereo_frontend_tail(
+            cam, kl, kr, dl, dr, planes, max_hamming_stereo, epipolar_tol,
+            min_disparity, max_disparity, capacity, want_planes,
+        )
     kl = detect.detect_keypoints(img_l, threshold, bin_size, capacity, border,
                                  detector, octaves=octaves)
     kr = detect.detect_keypoints(img_r, threshold, bin_size, capacity, border,
@@ -177,7 +229,18 @@ def stereo_frontend_core(
         planes = brief.dense_planes_pair(img_l, img_r)
         dl = brief.gather_descriptors(planes[0], img_l.shape, kl.uv)
         dr = brief.gather_descriptors(planes[1], img_r.shape, kr.uv)
+    return _stereo_frontend_tail(
+        cam, kl, kr, dl, dr, planes, max_hamming_stereo, epipolar_tol,
+        min_disparity, max_disparity, capacity, want_planes,
+    )
 
+
+def _stereo_frontend_tail(cam, kl, kr, dl, dr, planes, max_hamming_stereo,
+                          epipolar_tol, min_disparity, max_disparity,
+                          capacity, want_planes):
+    """Shared stereo front-end tail: epipolar match -> triangulation ->
+    compaction -> FrameState (used by both the staged and the fused-Pallas
+    detection/description paths)."""
     # Matches below min_disparity are KEPT as temporary points (reference
     # unreliable framepoints): disparity gate opens down to 0, reliability
     # records whether proper stereo triangulation was possible.

@@ -234,28 +234,65 @@ def spawn_and_update_observed(
     new_nup = jnp.where(obs, base_nup + 1, table.n_updates[tgt])
     new_origin = jnp.where(fresh, origin_kf, table.origin_kf[tgt])
     # Predicated ADD-deltas (collision-safe: unused rows alias slot 0 and
-    # add zero, cf. spawn_landmarks).
+    # add zero, cf. spawn_landmarks), PACKED into 3 scatters: TPU scatters
+    # cost ~0.13 ms per 1024 rows regardless of row width, so the f32
+    # fields ride one (K, 12) scatter, the int/flag fields one (K, 5)
+    # scatter and the descriptors one (K, 8) scatter — 3 table passes
+    # instead of 8 (the concat/split round trips are contiguous copies,
+    # ~us at this table size).
+    cap = table.capacity
+    fbuf = jnp.concatenate(
+        [table.xyz_w, table.H_acc.reshape(cap, 9)], axis=1
+    )
+    fdelta = jnp.concatenate(
+        [
+            jnp.where(o1, xyz_n - table.xyz_w[tgt], 0.0),
+            jnp.where(
+                obs[:, None], (H_n - table.H_acc[tgt]).reshape(-1, 9), 0.0
+            ),
+        ],
+        axis=1,
+    )
+    fbuf = fbuf.at[tgt].add(fdelta)
+
+    new_seen = jnp.where(obs, jnp.maximum(table.last_seen[tgt], frame_idx),
+                         table.last_seen[tgt])
+    new_valid = table.valid[tgt] | obs
+    new_prot = table.protected[tgt] & ~(fresh & obs)
+    ibuf = jnp.stack(
+        [
+            table.n_updates,
+            table.last_seen,
+            table.origin_kf,
+            table.valid.astype(jnp.int32),
+            table.protected.astype(jnp.int32),
+        ],
+        axis=1,
+    )
+    idelta = jnp.stack(
+        [
+            jnp.where(obs, new_nup - table.n_updates[tgt], 0),
+            new_seen - table.last_seen[tgt],
+            jnp.where(obs, new_origin - table.origin_kf[tgt], 0),
+            new_valid.astype(jnp.int32) - table.valid[tgt].astype(jnp.int32),
+            new_prot.astype(jnp.int32)
+            - table.protected[tgt].astype(jnp.int32),
+        ],
+        axis=1,
+    )
+    ibuf = ibuf.at[tgt].add(idelta)
+
     return table._replace(
-        xyz_w=table.xyz_w.at[tgt].add(
-            jnp.where(o1, xyz_n - table.xyz_w[tgt], 0.0)
-        ),
-        H_acc=table.H_acc.at[tgt].add(
-            jnp.where(obs[:, None, None], H_n - table.H_acc[tgt], 0.0)
-        ),
+        xyz_w=fbuf[:, :3],
+        H_acc=fbuf[:, 3:].reshape(cap, 3, 3),
         desc=table.desc.at[tgt].add(
             jnp.where(o1, desc - table.desc[tgt], jnp.uint32(0))
         ),
-        n_updates=table.n_updates.at[tgt].add(
-            jnp.where(obs, new_nup - table.n_updates[tgt], 0)
-        ),
-        last_seen=table.last_seen.at[tgt].max(jnp.where(obs, frame_idx, -1)),
-        valid=table.valid.at[tgt].max(obs),
-        origin_kf=table.origin_kf.at[tgt].add(
-            jnp.where(obs, new_origin - table.origin_kf[tgt], 0)
-        ),
-        # Fresh (recycled) slots start unprotected; .min with identity True
-        # for non-fresh rows (incl. the slot-0 aliases).
-        protected=table.protected.at[tgt].min(~(fresh & obs)),
+        n_updates=ibuf[:, 0],
+        last_seen=ibuf[:, 1],
+        origin_kf=ibuf[:, 2],
+        valid=ibuf[:, 3] > 0,
+        protected=ibuf[:, 4] > 0,
     )
 
 

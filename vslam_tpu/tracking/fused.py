@@ -593,12 +593,24 @@ def _step_tail(cam, params: FusedParams, track_fn, state: TrackerState,
             rank = jnp.cumsum(cand.astype(jnp.int32)) - 1
             dest = free_count_ + rank
             push = cand & (dest < F)
-            tgt = jnp.where(push, dest, 0)
+            n_push = jnp.sum(push).astype(jnp.int32)
+            # Compact pushed slot ids to the front with ONE sort (a
+            # capacity-row scatter into the stack serializes per row on
+            # TPU — measured ~16 ms per sweep, 0.5 ms/frame amortized;
+            # sort + gather-merge is ~30x cheaper).
             ids = jnp.arange(table_.capacity, dtype=jnp.int32)
-            free_list_ = free_list_.at[tgt].add(
-                jnp.where(push, ids - free_list_[tgt], 0)
-            )
-            free_count_ = free_count_ + jnp.sum(push).astype(jnp.int32)
+            key = jnp.where(push, ids, jnp.int32(table_.capacity))
+            pushed_ids, _ = jax.lax.sort_key_val(key, ids)
+            # Stack position p takes: old value below free_count, the
+            # (p - free_count)-th pushed id in the appended window, old
+            # value above it.
+            pos = jnp.arange(F, dtype=jnp.int32)
+            appended = pushed_ids[
+                jnp.clip(pos - free_count_, 0, table_.capacity - 1)
+            ]
+            in_window = (pos >= free_count_) & (pos < free_count_ + n_push)
+            free_list_ = jnp.where(in_window, appended, free_list_)
+            free_count_ = free_count_ + n_push
             table_ = table_._replace(
                 valid=table_.valid & ~push,
                 protected=table_.protected & ~push,
