@@ -81,3 +81,23 @@ def test_ba_problem_construction(world_frames):
     assert (om.sum(1) >= 2).all()
     # Observation uv4 reprojects near the snapshot keyframe prediction.
     assert np.asarray(prob.obs_uv4)[:n_lm][om].max() < 400.0
+
+
+def test_ba_with_device_archived_observations(world_frames):
+    """Slim-drain mode: observations stay in the device keyframe archive
+    and BA fetches its window's blocks lazily (ba_runner._fetch_archived_uv4)
+    — same accuracy as the shipped-uv4 path up to the 1/16-px transfer
+    quantization."""
+    world, frames = world_frames
+    eng = SlamEngine(CAM, make_cfg(True), landmark_capacity=16384)
+    eng.tracker._ship_uv4 = False  # force archive mode (TPU default)
+    for l, r in frames:
+        eng.process(l, r)
+    eng._flush_tracker()
+    assert eng.n_ba_runs >= 1
+    # The lazy fetch populated (and cached) the window maps' observations.
+    fetched = [m for m in eng.world_map.local_maps if m.uv4 is not None]
+    assert fetched, "archive fetch never populated uv4"
+    est = np.stack(eng.tracker.trajectory)
+    rmse, _, _ = traj_eval.ate_rmse(est, world.poses)
+    assert rmse < 0.1, rmse

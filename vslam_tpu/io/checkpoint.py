@@ -59,7 +59,15 @@ def save_checkpoint(engine, path: str) -> None:
                         "n": len(m.landmark_slots)})
         slot_blocks.append(m.landmark_slots)
         xyz_blocks.append(m.xyz_kf)
-        desc_blocks.append(m.desc)
+        if m.desc is not None:
+            desc_blocks.append(m.desc)
+        else:
+            # Device-resident descriptors (slim-drain mode): materialize
+            # the padded device block once here — checkpointing is an
+            # end-of-run/rare operation.
+            desc_blocks.append(
+                np.asarray(m.desc_dev)[: len(m.landmark_slots)]
+            )
         kf_blocks.append(m.T_world_kf)
     arrays["lm_slots"] = np.concatenate(slot_blocks) if slot_blocks else np.zeros(0, np.int32)
     arrays["lm_xyz"] = np.concatenate(xyz_blocks) if xyz_blocks else np.zeros((0, 3), np.float32)

@@ -217,6 +217,12 @@ class ParallelismParameters:
     # 16 on both the 128-frame bench (118 -> 143 fps) and the 1536-frame
     # scale run (32.7 -> 39.0 fps, ATE 0.11 -> 0.09 m).
     frames_per_chunk: int = 32
+    # Device-side keyframe snapshot ARCHIVE rows (TPU path): descriptors
+    # and observations stay on device for the whole run — the relocalizer
+    # and BA gather from the archive instead of shipping every block over
+    # the tunnel with each drain.  ~64 KB/row at 512 landmarks; 4096 rows
+    # cover > 10k-frame sequences at reference keyframe cadence.
+    kf_archive_size: int = 4096
 
 
 @dataclass

@@ -194,6 +194,16 @@ class ICPCandidate:
     n: int
 
 
+@dataclass(eq=False)
+class ICPBatch:
+    """One dispatched batched-ICP program's device result, shared by the
+    batch's jobs: fetched ONCE (a per-job device slice would enqueue
+    B x fields tiny programs and fetch the same bytes B times)."""
+
+    res_dev: object  # vmapped gn.GNResult pytree (device), leading dim B
+    fetched: object = None  # host copy once resolved
+
+
 @dataclass
 class ICPJob:
     """An in-flight closure ICP verification: the candidate survived the
@@ -205,16 +215,18 @@ class ICPJob:
     q_rows: np.ndarray
     r_rows: np.ndarray
     n: int
-    res_dev: object  # gn.GNResult pytree (device)
+    batch: ICPBatch
+    index: int  # row of this job inside batch.res_dev
 
 
-from functools import lru_cache as _lru_cache
+from functools import lru_cache
 
 
-@_lru_cache(maxsize=None)
+@lru_cache(maxsize=None)
 def _batched_icp_solver(aligner_type: str, icp_config):
     """One compiled vmapped ICP program per (aligner, config); the jit
-    cache then specializes per (batch, cap) bucket."""
+    cache then specializes per (batch, cap) bucket.  Memoized: a fresh
+    jax.jit wrapper per dispatch would retrace every call."""
     if aligner_type == "FAST-ICP":
         from vslam_tpu.solve import anderson
 
@@ -225,6 +237,44 @@ def _batched_icp_solver(aligner_type: str, icp_config):
     return jax.jit(
         jax.vmap(lambda d, m, t: solve(d, m, t, icp_config))
     )
+
+
+@lru_cache(maxsize=None)
+def _batched_icp_from_archive(aligner_type: str, icp_config):
+    """Batched ICP whose point sets are GATHERED ON DEVICE from the
+    tracker's keyframe archive (kf_pose/kf_xyz rings): the host uploads
+    only row indices + initial guesses (~40 KB) instead of the stacked
+    xyz blocks (~100 KB + a blocking upload behind the in-flight chunk).
+
+    Snapshot world positions are moved into each map's keyframe frame
+    with the ARCHIVED pose: keyframe-frame coordinates are invariant
+    under the rigid world corrections applied since the snapshot, so
+    this matches the host path bit-for-bit up to f32 rounding."""
+    if aligner_type == "FAST-ICP":
+        from vslam_tpu.solve import anderson
+
+        solve = anderson.fast_icp_align
+    else:
+        solve = aligners.icp_align
+
+    @jax.jit
+    def run(kf_pose, kf_xyz, qr, rr, q_rows, r_rows, nvalid, T0):
+        def one(qri, rri, qrow, rrow, n, T0i):
+            Tq = kf_pose[qri]
+            Tr = kf_pose[rri]
+            mov = (kf_xyz[qri][qrow] - Tq[:3, 3]) @ Tq[:3, :3]
+            fix = (kf_xyz[rri][rrow] - Tr[:3, 3]) @ Tr[:3, :3]
+            cap = qrow.shape[0]
+            msk = jnp.arange(cap) < n
+            data = aligners.ICPData(
+                p_moving=mov, p_fixed=fix,
+                weight=jnp.ones(cap, jnp.float32),
+            )
+            return solve(data, msk, T0i, icp_config)
+
+        return jax.vmap(one)(qr, rr, q_rows, r_rows, nvalid, T0)
+
+    return run
 
 
 # Largest batched-ICP compile bucket: dispatch_icp_batch never pads past
@@ -268,6 +318,11 @@ class Relocalizer:
         # (parallel/sharded_search.py) — same results, database-size scaling
         # (the HBST-at-scale replacement, relocalizer.cpp:55-70).
         self.mesh = mesh
+        # Optional device keyframe-archive accessor (set by the engine for
+        # the fused tracker): () -> (kf_pose (KR,4,4), kf_xyz (KR,K,3),
+        # horizon_map_id) — ICP verification then gathers its point sets
+        # on device instead of uploading host xyz blocks.
+        self.ring_provider = None
         # Device-resident database (fixed capacity, appended in place).
         # db_map_id is the FIRST-insertion local map of each row (-1 empty);
         # it doubles as the validity mask and the interspace gate.
@@ -315,7 +370,14 @@ class Relocalizer:
     def _stage_chunk(self, lm: LocalMap):
         """Host-side prep shared by submit/add: dedup fresh rows, register
         membership, reserve row metadata.  Returns (q_desc (QUERY_CAP, 8),
-        fresh_mask (QUERY_CAP,), nq, offset)."""
+        fresh_mask (QUERY_CAP,), nq, offset).
+
+        q_desc is a host numpy block when the local map carries host
+        descriptors, or the DEVICE-resident padded block (lm.desc_dev,
+        fused.gather_kf_desc) when they never left the device — the fused
+        query/insert programs accept either (rows beyond nq may then hold
+        stale ring data: they are never fresh and their query results are
+        ignored by vote())."""
         nq = min(len(lm.landmark_slots), self.QUERY_CAP)
         self.maps[lm.map_id] = lm
         fresh = np.zeros(self.QUERY_CAP, bool)
@@ -329,8 +391,16 @@ class Relocalizer:
         k = int(fresh.sum())
         while self.n_rows + k > self.capacity:
             self._grow()
-        q_desc = np.zeros((self.QUERY_CAP, 8), np.uint32)
-        q_desc[:nq] = lm.desc[:nq]
+        if lm.desc is None:
+            assert lm.desc_dev is not None, (
+                f"local map {lm.map_id}: no host descriptors and no "
+                "device-side block (engine must attach desc_dev for "
+                "ring-backed snapshots)"
+            )
+            q_desc = lm.desc_dev
+        else:
+            q_desc = np.zeros((self.QUERY_CAP, 8), np.uint32)
+            q_desc[:nq] = lm.desc[:nq]
         offset = self.n_rows
         sel = np.flatnonzero(fresh)
         self.row_slot[offset : offset + k] = slots[sel]
@@ -423,19 +493,24 @@ class Relocalizer:
         with log.measure("reloc_stage"):
             staged = [self._stage_chunk(lm) for lm in lms]
         SB = 1 << max(S - 1, 0).bit_length()  # pad S to a compile bucket
-        q = np.zeros((SB, CAP, 8), np.uint32)
         dest = np.full(SB * CAP, -1, np.int32)
         row_mid = np.zeros(SB * CAP, np.int32)
         maxm = np.full(SB, -1, np.int32)
         for i, (lm, (q_desc, fresh, nq, offset)) in enumerate(zip(lms, staged)):
-            q[i] = q_desc
             sel = np.flatnonzero(fresh)
             dest[i * CAP + sel] = offset + np.arange(len(sel))
             row_mid[i * CAP + sel] = lm.map_id
             maxm[i] = lm.map_id - p.preliminary_minimum_interspace_queries
+        # Assemble the query stack where the blocks live: device-resident
+        # blocks (desc_dev) concatenate on device with no host transfer;
+        # host blocks upload (32 KB each).
+        parts = [jnp.asarray(st[0])[None] for st in staged]
+        if SB > S:
+            parts.append(jnp.zeros((SB - S, CAP, 8), jnp.uint32))
+        q = jnp.concatenate(parts, axis=0)
         with log.measure("reloc_dispatch"):
             best, ok, self.db_desc, self.db_map_id = _query_and_insert_many(
-                jnp.asarray(q), jnp.asarray(dest), jnp.asarray(row_mid),
+                q, jnp.asarray(dest), jnp.asarray(row_mid),
                 self.db_desc, self.db_map_id, jnp.asarray(maxm),
                 jnp.int32(p.maximum_descriptor_distance),
                 jnp.int32(p.minimum_second_best_margin),
@@ -472,7 +547,15 @@ class Relocalizer:
         job = self.vote_and_dispatch_icp(handle)
         if job is None:
             return None
-        return self.finish_icp(job, jax.device_get(job.res_dev))
+        return self.finish_icp(job, self.job_result(job))
+
+    @staticmethod
+    def job_result(job):
+        """Host result slice for one ICP job; fetches (and caches) its
+        batch's device result on first use."""
+        if job.batch.fetched is None:
+            job.batch.fetched = jax.device_get(job.batch.res_dev)
+        return jax.tree.map(lambda a: a[job.index], job.batch.fetched)
 
     def vote_and_dispatch_icp(self, handle: QueryHandle | None):
         """Single-candidate compatibility wrapper: vote + one-element
@@ -606,36 +689,66 @@ class Relocalizer:
         cap = int(getattr(p, "icp_correspondence_cap", 512))
         B = len(candidates)
         Bp = 1 << max(int(np.ceil(np.log2(B))), 3)  # pow2 bucket, floor 8
-        mov = np.zeros((Bp, cap, 3), np.float32)
-        fix = np.zeros((Bp, cap, 3), np.float32)
-        msk = np.zeros((Bp, cap), bool)
         T0 = np.tile(np.eye(4, dtype=np.float32), (Bp, 1, 1))
         for i, c in enumerate(candidates):
-            lm, ref = c.query, c.reference
-            n = c.n
-            mov[i, :n] = lm.xyz_kf[c.q_rows[:n]]
-            fix[i, :n] = ref.xyz_kf[c.r_rows[:n]]
-            msk[i, :n] = True
             # Initial guess = the CURRENT (drift-carrying) relative
             # keyframe pose, as the reference seeds its closure aligners
             # from the world pose estimates (xyz_aligner.cpp:13-40).
-            T0[i] = np.linalg.inv(ref.T_world_kf) @ lm.T_world_kf
-        data = aligners.ICPData(
-            p_moving=jnp.asarray(mov),
-            p_fixed=jnp.asarray(fix),
-            weight=jnp.ones((Bp, cap), jnp.float32),
-        )
+            T0[i] = np.linalg.inv(c.reference.T_world_kf) @ c.query.T_world_kf
         icp_config = gn.GNConfig(
             kernel_max_error=p.icp_maximum_error_kernel,
             min_num_inliers=p.icp_minimum_number_of_inliers,
             max_iterations=50,
         )
-        # Fork's AA-ICP (fast_aligner.cpp) is selected exactly like the
-        # reference (relocalizer.cpp:19-27); both aligners run as ONE
-        # compiled vmapped program per batch bucket.
-        batch_res = _batched_icp_solver(p.aligner_type, icp_config)(
-            data, jnp.asarray(msk), jnp.asarray(T0)
+        ring = self.ring_provider() if self.ring_provider else None
+        archive_ok = ring is not None and all(
+            c.query.ring_row >= 0
+            and c.reference.ring_row >= 0
+            and c.query.map_id > ring[2]
+            and c.reference.map_id > ring[2]
+            for c in candidates
         )
+        if archive_ok:
+            kf_pose, kf_xyz, _horizon = ring
+            qr = np.zeros(Bp, np.int32)
+            rr = np.zeros(Bp, np.int32)
+            q_rows = np.zeros((Bp, cap), np.int32)
+            r_rows = np.zeros((Bp, cap), np.int32)
+            nv = np.zeros(Bp, np.int32)
+            for i, c in enumerate(candidates):
+                n = c.n
+                qr[i] = c.query.ring_row
+                rr[i] = c.reference.ring_row
+                q_rows[i, :n] = c.q_rows[:n]
+                r_rows[i, :n] = c.r_rows[:n]
+                nv[i] = n
+            batch_res = _batched_icp_from_archive(p.aligner_type, icp_config)(
+                kf_pose, kf_xyz, jnp.asarray(qr), jnp.asarray(rr),
+                jnp.asarray(q_rows), jnp.asarray(r_rows), jnp.asarray(nv),
+                jnp.asarray(T0),
+            )
+        else:
+            mov = np.zeros((Bp, cap, 3), np.float32)
+            fix = np.zeros((Bp, cap, 3), np.float32)
+            msk = np.zeros((Bp, cap), bool)
+            for i, c in enumerate(candidates):
+                lm, ref = c.query, c.reference
+                n = c.n
+                mov[i, :n] = lm.xyz_kf[c.q_rows[:n]]
+                fix[i, :n] = ref.xyz_kf[c.r_rows[:n]]
+                msk[i, :n] = True
+            data = aligners.ICPData(
+                p_moving=jnp.asarray(mov),
+                p_fixed=jnp.asarray(fix),
+                weight=jnp.ones((Bp, cap), jnp.float32),
+            )
+            # Fork's AA-ICP (fast_aligner.cpp) is selected exactly like the
+            # reference (relocalizer.cpp:19-27); both aligners run as ONE
+            # compiled vmapped program per batch bucket.
+            batch_res = _batched_icp_solver(p.aligner_type, icp_config)(
+                data, jnp.asarray(msk), jnp.asarray(T0)
+            )
+        batch = ICPBatch(res_dev=batch_res)
         return [
             ICPJob(
                 query=c.query,
@@ -643,7 +756,8 @@ class Relocalizer:
                 q_rows=c.q_rows,
                 r_rows=c.r_rows,
                 n=c.n,
-                res_dev=jax.tree.map(lambda a, i=i: a[i], batch_res),
+                batch=batch,
+                index=i,
             )
             for i, c in enumerate(candidates)
         ]
@@ -696,8 +810,11 @@ class Relocalizer:
         if max_map_id < 0:
             return None
         nq = min(len(query.landmark_slots), self.QUERY_CAP)
-        q_desc = np.zeros((self.QUERY_CAP, 8), np.uint32)
-        q_desc[:nq] = query.desc[:nq]
+        if query.desc is None:  # device-resident block (slim-drain mode)
+            q_desc = np.asarray(query.desc_dev)
+        else:
+            q_desc = np.zeros((self.QUERY_CAP, 8), np.uint32)
+            q_desc[:nq] = query.desc[:nq]
         if (
             self.mesh is not None
             and self.capacity % self.mesh.size == 0

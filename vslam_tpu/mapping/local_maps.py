@@ -27,11 +27,16 @@ class LocalMap:
     T_world_kf: np.ndarray  # (4, 4) keyframe pose at creation
     landmark_slots: np.ndarray  # (K,) int32 table slots
     xyz_kf: np.ndarray  # (K, 3) landmark positions in keyframe frame
-    desc: np.ndarray  # (K, 8) uint32 landmark descriptors
+    # Landmark descriptors: None when device-resident (the fused tracker's
+    # snapshot ring keeps them on device; `desc_dev` carries the padded
+    # device gather the relocalizer consumes — fused.gather_kf_desc).
+    desc: np.ndarray | None  # (K, 8) uint32, or None
     # Stereo observations [uL,vL,uR,vR] of each landmark in the keyframe —
     # the measurement rows of the full-BA factor graph (reference
     # addPoseWithFactors, graph_optimizer.cpp:319-409).
     uv4: np.ndarray | None = None
+    desc_dev: object = None  # (QUERY_CAP, 8) uint32 device array, or None
+    ring_row: int = -1  # device snapshot-archive row (-1: not ring-backed)
 
 
 @dataclass
@@ -89,7 +94,7 @@ class WorldMap:
         frame_index: int,
         landmark_slots: np.ndarray,
         xyz_world: np.ndarray,
-        desc: np.ndarray,
+        desc: np.ndarray | None,
         uv4: np.ndarray | None = None,
     ) -> LocalMap:
         T_kf_world = np.linalg.inv(T_world_cam)
@@ -100,7 +105,7 @@ class WorldMap:
             T_world_kf=T_world_cam.copy(),
             landmark_slots=np.array(landmark_slots, np.int32),
             xyz_kf=xyz_kf.astype(np.float32),
-            desc=np.asarray(desc, np.uint32),
+            desc=None if desc is None else np.asarray(desc, np.uint32),
             uv4=None if uv4 is None else np.asarray(uv4, np.float32),
         )
         self.local_maps.append(lm)

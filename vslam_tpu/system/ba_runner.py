@@ -34,6 +34,35 @@ OMAX = 16
 MIN_OBS = 2  # landmarks observed once constrain nothing jointly
 
 
+def _fetch_archived_uv4(engine, maps) -> None:
+    """Populate m.uv4 for window maps whose observations live in the
+    device-side keyframe archive (slim-drain mode ships no uv4 per drain;
+    BA fetches its window's blocks here, ONCE per map, cached on the
+    LocalMap).  One bucketed gather + one transfer per BA call."""
+    tracker = engine.tracker
+    state = getattr(tracker, "state", None)
+    need = [m for m in maps if m.uv4 is None and m.ring_row >= 0]
+    if state is None or not need:
+        return
+    from vslam_tpu.tracking import fused
+
+    KR = state.kf_uv4.shape[0]
+    # Archive rows wrap after KR keyframes; anything older is gone (the
+    # window is recent, so this only trips on misconfigured tiny rings).
+    live = [m for m in need if m.map_id > tracker._kf_harvested - KR]
+    if not live:
+        return
+    bucket = 1 << max(len(live) - 1, 0).bit_length()
+    rows = np.zeros(bucket, np.int32)
+    rows[: len(live)] = [m.ring_row for m in live]
+    fetched = np.asarray(
+        jax.device_get(fused.gather_kf_uv4(state.kf_uv4, jnp.asarray(rows)))
+    )
+    for i, m in enumerate(live):
+        n = len(m.landmark_slots)
+        m.uv4 = fetched[i, :n].astype(np.float32) / fused.UV4_SCALE
+
+
 def build_window_problem(engine, window: int = WINDOW, omax: int = OMAX):
     """Assemble a BAProblem over the last `window` keyframes.
 
@@ -41,6 +70,7 @@ def build_window_problem(engine, window: int = WINDOW, omax: int = OMAX):
     slots, L_real) or None if the window holds too few observations.
     """
     maps = engine.world_map.local_maps[-window:]
+    _fetch_archived_uv4(engine, maps)
     maps = [m for m in maps if m.uv4 is not None]
     if len(maps) < 2:
         return None

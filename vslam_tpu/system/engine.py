@@ -104,6 +104,20 @@ class SlamEngine:
             self.mesh if self.cfg.parallelism.shard_descriptor_db else None
         )
         self.relocalizer = Relocalizer(self.cfg.relocalization, mesh=reloc_mesh)
+        if hasattr(self.tracker, "state"):
+            # Device keyframe-archive accessor: closure ICP gathers its
+            # point sets on device from the snapshot archive (horizon =
+            # oldest map id whose row may have been overwritten).
+            _tr = self.tracker
+
+            def _ring_provider():
+                st = _tr.state
+                return (
+                    st.kf_pose, st.kf_xyz,
+                    _tr._kf_harvested - st.kf_pose.shape[0],
+                )
+
+            self.relocalizer.ring_provider = _ring_provider
         self.open_loop = self.cfg.command_line.option_disable_relocalization
         # Pose-graph bookkeeping: one vertex per local map keyframe.
         self.kf_poses: list[np.ndarray] = []
@@ -201,6 +215,27 @@ class SlamEngine:
         # Register new keyframes FIRST: corrections from closures resolved
         # below then rewrite their poses along with everything else.
         local_maps = [self._register_keyframe(snap) for snap in snaps]
+        # Ring-backed snapshots keep their descriptors ON DEVICE: gather
+        # the batch's blocks device-side (one tiny dispatch, no transfer)
+        # for the relocalizer's fused query+insert — the descriptor block
+        # is the dominant drain/upload payload over the tunnel link.
+        need = [
+            (lm, s)
+            for lm, s in zip(local_maps, snaps)
+            if s.desc is None and s.ring_row >= 0
+        ]
+        if need:
+            from vslam_tpu.tracking import fused as fused_mod
+
+            bucket = 1 << max(len(need) - 1, 0).bit_length()
+            rows = np.zeros(bucket, np.int32)
+            rows[: len(need)] = [s.ring_row for _, s in need]
+            desc_dev = fused_mod.gather_kf_desc(
+                self.tracker.state.kf_desc, jnp.asarray(rows),
+                out_cap=self.relocalizer.QUERY_CAP,
+            )
+            for i, (lm, _) in enumerate(need):
+                lm.desc_dev = desc_dev[i]
         # Resolve last drain's dispatched queries/ICPs — their results
         # rode the drain-bundle transfer (tracker.take_fetched_extra), so
         # no extra round trip happens here.
@@ -229,7 +264,14 @@ class SlamEngine:
         # Arm the next drain to carry this round's pending device results.
         if hasattr(self.tracker, "set_pending_extra"):
             q = [(h.idx_dev, h.ok_dev) for h in self._inflight_queries]
-            icp = [j.res_dev for j in self._inflight_icp]
+            # One device result per ICP BATCH (jobs share it) — fetching a
+            # per-job slice would move the same bytes B times.
+            batches = []
+            for j in self._inflight_icp:
+                if j.batch not in batches:
+                    batches.append(j.batch)
+            self._armed_icp_batches = batches
+            icp = [b.res_dev for b in batches]
             self.tracker.set_pending_extra((q, icp) if (q or icp) else None)
 
     def _resolve_inflight(self, fetched=None):
@@ -246,16 +288,20 @@ class SlamEngine:
         with log.measure("relocalization"):
             if fetched is not None:
                 fetched_q, fetched_icp = fetched
+                for b, res in zip(
+                    getattr(self, "_armed_icp_batches", []), fetched_icp
+                ):
+                    b.fetched = res
             else:
-                fetched_q, fetched_icp = jax.device_get(
-                    (
-                        [(h.idx_dev, h.ok_dev) for h in queries],
-                        [j.res_dev for j in icps],
-                    )
+                fetched_q = jax.device_get(
+                    [(h.idx_dev, h.ok_dev) for h in queries]
                 )
+                # flush path: job_result fetches each batch directly below
             # Older work first: ICP verdicts -> closures to apply.
-            for job, res in zip(icps, fetched_icp):
-                closure = self.relocalizer.finish_icp(job, res)
+            for job in icps:
+                closure = self.relocalizer.finish_icp(
+                    job, self.relocalizer.job_result(job)
+                )
                 if closure is not None:
                     closures.append(closure)
             with log.measure("reloc_vote_icp"):
@@ -361,6 +407,7 @@ class SlamEngine:
             snap.T_world_kf, snap.frame_idx, snap.slots, snap.xyz_w, snap.desc,
             uv4=snap.uv4,
         )
+        local_map.ring_row = snap.ring_row
 
         # Pose-graph vertex + odometry edge (break-aware weight).
         self.kf_poses.append(snap.T_world_kf.copy())

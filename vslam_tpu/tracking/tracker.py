@@ -56,8 +56,13 @@ class KeyframeSnapshot:
     T_world_kf: np.ndarray  # (4, 4)
     slots: np.ndarray  # (n,) int32 landmark table slots
     xyz_w: np.ndarray  # (n, 3) landmark world positions at snapshot
-    desc: np.ndarray  # (n, 8) uint32
+    # Descriptors normally stay ON DEVICE (ring_row points at the live
+    # snapshot-ring row; the relocalizer gathers them device-side —
+    # fused.gather_kf_desc).  The host copy is populated only by paths
+    # that already have it (modular tracker / sharded-DB mode).
+    desc: np.ndarray | None  # (n, 8) uint32, or None (device-resident)
     uv4: np.ndarray  # (n, 4) keyframe stereo observations (BA measurements)
+    ring_row: int = -1  # device snapshot-ring row (-1: not ring-backed)
 
 
 @dataclass
@@ -487,8 +492,19 @@ class FusedPoseTracker:
             # unprotected landmark slots.
             enable_eviction=config.command_line.option_drop_framepoints,
             bilateral_depth=fp.enable_bilateral_filtering,
-            # Result ring must cover at least two drain intervals.
-            ring_size=max(64, 2 * int(config.parallelism.frames_per_chunk)),
+            # Result ring must cover the lagged-bundle span: each bundle
+            # waits one extra chunk before its fetch (async-copy head
+            # start), so unharvested frames span up to ~3 chunks.
+            ring_size=max(64, 4 * int(config.parallelism.frames_per_chunk)),
+            # On TPU the snapshot ring is an ARCHIVE (rows stay live for
+            # the whole run): the relocalizer and BA/viz gather
+            # descriptors/observations from it device-side instead of
+            # shipping them with every drain over the ~3 MB/s tunnel.
+            kf_ring_size=(
+                int(config.parallelism.kf_archive_size)
+                if jax.default_backend() != "cpu"
+                else 32
+            ),
             threshold_min=fp.detector_threshold_minimum,
             threshold_max=fp.detector_threshold_maximum,
             threshold_max_change=fp.detector_threshold_maximum_change,
@@ -542,11 +558,17 @@ class FusedPoseTracker:
         self.controller = _ControllerView(self)
         self._dispatched = 0  # frames sent to the device
         self._harvested = 0  # frames read back from the ring
-        # Pipelined-drain bookkeeping: the in-flight drain-bundle output
-        # (device arrays of an already-enqueued gather program) and the
-        # frame count it covers.
-        self._bundle = None
-        self._bundle_count = 0
+        # Pipelined-drain bookkeeping: a QUEUE of in-flight drain-bundle
+        # outputs (device arrays of already-enqueued gather programs), each
+        # with the frame count it covers and its keyframe-window start.
+        # The oldest bundle is fetched only once `_bundle_lag` newer ones
+        # exist: its async D2H copy (started at dispatch) then has a full
+        # chunk's execution window to land on host, so the blocking fetch
+        # finds the bytes already local (~0-10 ms vs 80-150 ms cold).
+        from collections import deque
+
+        self._bundles = deque()
+        self._bundle_lag = 1
         # On CPU (tests) transfers are ~free: ship/harvest every frame so
         # the engine sees exact per-frame poses.  Over the TPU tunnel,
         # batch both directions (see compute()).
@@ -554,6 +576,19 @@ class FusedPoseTracker:
         chunk = max(int(config.parallelism.frames_per_chunk), 1)
         self.harvest_every = 1 if on_cpu else chunk
         self.chunk_size = 1 if on_cpu else chunk
+        # Keyframe descriptors cross to the host ONLY when the sharded
+        # descriptor-database path needs them there (parallel/
+        # sharded_search.py inserts from host blocks); otherwise the
+        # relocalizer gathers them device-side (fused.gather_kf_desc) and
+        # the drain bundle ships a placeholder — the descriptor block is
+        # the bundle's largest field over the ~3 MB/s tunnel.
+        self._ship_desc = (
+            config.parallelism.shard_descriptor_db and len(jax.devices()) > 1
+        )
+        # Observations ride the drain only where they are consumed every
+        # keyframe (CPU exact-per-frame path, image-overlay dumps);
+        # otherwise BA/viz fetch them lazily from the device archive.
+        self._ship_uv4 = on_cpu or config.visualization.enable_image_dump
         self._buf: list[np.ndarray] = []
         self._odom_buf: list[np.ndarray] = []
         # Pre-staged device constants (avoids a tiny upload per step).
@@ -628,8 +663,7 @@ class FusedPoseTracker:
         self.state = self.state._replace(frame_idx=jnp.int32(v))
         self._dispatched = int(v)
         self._harvested = int(v)
-        self._bundle = None
-        self._bundle_count = int(v)
+        self._bundles.clear()
 
     @property
     def status(self) -> str:
@@ -708,15 +742,11 @@ class FusedPoseTracker:
             if self._dispatched - self._harvested >= self.harvest_every:
                 self._drain()
             return
-        if (
-            self._bundle is not None
-            and self._bundle_count - self._harvested >= self.harvest_every
-        ):
-            self._drain(bundle=self._bundle, upto=self._bundle_count)
-            self._bundle = None
-        if self._dispatched > (
-            self._bundle_count if self._bundle is not None else self._harvested
-        ):
+        while len(self._bundles) > self._bundle_lag:
+            b, upto, kf_start = self._bundles.popleft()
+            self._drain(bundle=b, upto=upto, kf_window_start=kf_start)
+        last = self._bundles[-1][1] if self._bundles else self._harvested
+        if self._dispatched > last:
             self._dispatch_bundle()
 
     def _dispatch_bundle(self):
@@ -732,10 +762,28 @@ class FusedPoseTracker:
         from vslam_tpu.tracking import fused
 
         KR = self.params.kf_ring_size
-        self._bundle = fused.drain_bundle(
-            self.state, jnp.int32(self._kf_harvested % KR)
+        kf_start = self._kf_harvested
+        bundle = fused.drain_bundle(
+            self.state, jnp.int32(kf_start % KR),
+            ship_desc=self._ship_desc, ship_uv4=self._ship_uv4,
+            quant_uv4=True,
         )
-        self._bundle_count = self._dispatched
+        self._bundles.append((bundle, self._dispatched, kf_start))
+        # Start the D2H copies NOW, in the background: the transfer then
+        # rides the next chunk's execution window and the blocking fetch
+        # at the next drain finds the bytes already on host (measured
+        # 0.4-28 ms collect vs 78-149 ms for a cold synchronous
+        # device_get under concurrent execution on the axon tunnel).
+        self._start_async_fetch(bundle)
+
+    @staticmethod
+    def _start_async_fetch(tree) -> None:
+        try:
+            for leaf in jax.tree_util.tree_leaves(tree):
+                if hasattr(leaf, "copy_to_host_async"):
+                    leaf.copy_to_host_async()
+        except Exception:  # backends without async D2H: fetch stays sync
+            pass
 
     def _dispatch_chunk(self):
         """Upload the buffered frames as one chunk; dispatch their steps."""
@@ -840,6 +888,8 @@ class FusedPoseTracker:
         """Register a device pytree to fetch together with the next drain
         bundle (engine closure pipeline; None clears)."""
         self._pending_extra = extra
+        if extra is not None:
+            self._start_async_fetch(extra)
 
     def take_fetched_extra(self):
         """Return (and clear) the extra pytree fetched by the last drain,
@@ -856,7 +906,8 @@ class FusedPoseTracker:
                 T = C @ T
         return T.astype(np.float32)
 
-    def _drain(self, bundle=None, upto: int | None = None):
+    def _drain(self, bundle=None, upto: int | None = None,
+               kf_window_start: int | None = None):
         """One device->host transfer harvesting the un-read ring rows AND
         a speculative window of keyframe snapshots (fused.drain_bundle —
         one tunnel round trip instead of two when keyframes happened).
@@ -870,9 +921,14 @@ class FusedPoseTracker:
         from vslam_tpu.utils import log as _log
 
         if bundle is None:
-            self._dispatch_bundle()
-            bundle, upto = self._bundle, self._bundle_count
-            self._bundle = None
+            KR = self.params.kf_ring_size
+            kf_window_start = self._kf_harvested
+            bundle = fused.drain_bundle(
+                self.state, jnp.int32(kf_window_start % KR),
+                ship_desc=self._ship_desc, ship_uv4=self._ship_uv4,
+                quant_uv4=True,
+            )
+            upto = self._dispatched
         # One blocking transfer carries the bundle AND the engine's armed
         # extras (closure query/ICP results) — a single tunnel round trip.
         with _log.measure("drain_fetch"):
@@ -888,6 +944,7 @@ class FusedPoseTracker:
         assert upto - self._harvested <= self.params.ring_size
         ring = np.asarray(data[0])
         self._kf_bundle = data[1:]
+        self._kf_bundle_start = kf_window_start
         _t_parse = time.perf_counter()
         s = self.stats
         kf_total = self._kf_harvested
@@ -941,11 +998,20 @@ class FusedPoseTracker:
             f"keyframe ring overflow: {n_new} keyframes since last "
             f"drain > ring size {KR}"
         )
-        if n_new <= fused.KF_WINDOW and getattr(self, "_kf_bundle", None):
-            # Fast path: the snapshots came along with the ring readback.
+        ws = getattr(self, "_kf_bundle_start", None)
+        if ws is None:
+            ws = start
+        if (
+            getattr(self, "_kf_bundle", None)
+            and kf_total - ws <= fused.KF_WINDOW
+        ):
+            # Fast path: the snapshots came along with the ring readback
+            # (bundle rows begin at its window start ws <= start).
+            base = ws
             pose, fidxs, ns, slots, xyz, desc, uv4 = self._kf_bundle
         else:
             bucket = 1 << max(int(np.ceil(np.log2(max(n_new, 1)))), 2)
+            base = start
             rows = np.zeros(bucket, np.int32)
             rows[:n_new] = [k % KR for k in range(start, kf_total)]
             st = self.state
@@ -953,10 +1019,12 @@ class FusedPoseTracker:
                 fused.gather_kf_rows(
                     st.kf_pose, st.kf_frame_idx, st.kf_n, st.kf_slots,
                     st.kf_xyz, st.kf_desc, st.kf_uv4, jnp.asarray(rows),
+                    ship_desc=self._ship_desc, ship_uv4=self._ship_uv4,
+                    quant_uv4=True,
                 )
             )
         for k in range(start, kf_total):
-            r = k - start
+            r = k - base
             n = int(ns[r])
             fidx = int(fidxs[r])
             C = np.eye(4, dtype=np.float32)
@@ -967,6 +1035,12 @@ class FusedPoseTracker:
             xyz_k = (
                 np.asarray(xyz[r][:n]) @ C[:3, :3].T + C[:3, 3]
             ).astype(np.float32)
+            if self._ship_uv4:
+                uv4_k = np.asarray(uv4[r][:n])
+                if uv4_k.dtype == np.uint16:  # 1/16-px transfer encoding
+                    uv4_k = uv4_k.astype(np.float32) / fused.UV4_SCALE
+            else:
+                uv4_k = None  # device-resident: BA/viz gather lazily
             self._pending_keyframes.append(
                 KeyframeSnapshot(
                     map_id=k,
@@ -974,8 +1048,10 @@ class FusedPoseTracker:
                     T_world_kf=T_kf,
                     slots=np.asarray(slots[r][:n]),
                     xyz_w=xyz_k,
-                    desc=np.asarray(desc[r][:n]),
-                    uv4=np.asarray(uv4[r][:n]),
+                    desc=(np.asarray(desc[r][:n]) if self._ship_desc
+                          else None),
+                    uv4=uv4_k,
+                    ring_row=k % KR,
                 )
             )
         self._kf_harvested = kf_total
@@ -1003,4 +1079,7 @@ class FusedPoseTracker:
         """Dispatch any buffered frames and drain the batched readback
         (call before reading final state)."""
         self._dispatch_chunk()
+        while self._bundles:
+            b, upto, kf_start = self._bundles.popleft()
+            self._drain(bundle=b, upto=upto, kf_window_start=kf_start)
         self._drain()
