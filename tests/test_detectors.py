@@ -118,3 +118,81 @@ def test_tracker_runs_with_dog(image):
     rmse, _, _ = traj_eval.ate_rmse(est, world2.poses)
     assert tracker.stats.n_breaks == 0
     assert rmse < 0.15, rmse
+
+
+# ---------------------------------------------------------------------------
+# KAZE nonlinear-scale-space detector (reference cv::KAZE/AKAZE wrappers,
+# base_framepoint_generator.cpp:28-49,73-91)
+# ---------------------------------------------------------------------------
+
+
+def test_fed_linear_limit_matches_gaussian():
+    """With conductivity forced to 1 the FED evolution integrates the
+    linear heat equation: evolving to time T must match a Gaussian blur of
+    sigma = sqrt(2T) (the correctness anchor for the integrator)."""
+    rng = np.random.default_rng(3)
+    # Band-limited input: the 5-point Laplacian only approximates the
+    # continuous heat kernel below the grid Nyquist, so white noise would
+    # compare discretization error, not integrator correctness.
+    img = np.asarray(
+        detect.gauss_blur(
+            jnp.asarray(rng.uniform(0, 1, (64, 96)).astype(np.float32)), 3.0
+        )
+    )
+    T = 4.5  # sigma = 3.0
+    n = detect._fed_steps_for_time(T)
+    taus = detect._fed_tau_ladder(n)
+    # Rescale the ladder so total time is exactly T.
+    taus = taus * (T / float(taus.sum()))
+    L = jnp.asarray(img)
+    g = jnp.ones_like(L)
+    for tau in taus:
+        L = detect._diffusion_substep(L, g, float(tau))
+    # Oracle 1 (tight): the exact DISCRETE heat evolution — many small
+    # stable explicit steps to the same total time.  Pins the FED cycle's
+    # correctness independent of spatial discretization error.
+    Ls = jnp.asarray(img)
+    n_small = int(np.ceil(T / 0.2))
+    for _ in range(n_small):
+        Ls = detect._diffusion_substep(Ls, g, T / n_small)
+    a = np.asarray(L)[8:-8, 8:-8]
+    b = np.asarray(Ls)[8:-8, 8:-8]
+    # (FED is by design an approximation of the heat kernel whose transfer
+    # function deviates at high frequencies; the band-limited input keeps
+    # the comparison in the regime both integrators resolve.)
+    assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.99
+    assert np.abs(a - b).mean() < 5e-3
+    # Oracle 2 (loose): the continuous limit — Gaussian of sqrt(2T).
+    ref = np.asarray(detect.gauss_blur(jnp.asarray(img), 3.0))[8:-8, 8:-8]
+    assert np.corrcoef(a.ravel(), ref.ravel())[0, 1] > 0.9
+
+
+def test_kaze_corner_vs_edge():
+    """Hessian-determinant response fires on blob/corner structure, not on
+    straight step edges (det H ~ 0 on a 1D edge)."""
+    img = np.zeros((96, 96), np.float32)
+    img[:, 48:] = 200.0  # vertical step edge
+    img[20:32, 20:32] = 255.0  # square blob
+    s = np.asarray(detect.kaze_score_map(jnp.asarray(img), jnp.float32(1.0)))
+    blob = s[14:38, 14:38].max()
+    edge_band = s[50:90, 44:52].max()
+    assert blob > 0
+    assert blob > 5.0 * max(edge_band, 1e-6)
+
+
+def test_kaze_detect_keypoints_end_to_end():
+    rng = np.random.default_rng(5)
+    img = rng.uniform(0, 10, (128, 160)).astype(np.float32)
+    # Gaussian blobs (det-Hessian extrema sit at blob centers; a uniform
+    # square would score at its four corners instead).
+    yy, xx = np.mgrid[0:128, 0:160].astype(np.float32)
+    for r, c in [(30, 40), (60, 100), (90, 60)]:
+        img += 220.0 * np.exp(-((yy - r) ** 2 + (xx - c) ** 2) / (2 * 3.0**2))
+    kp = detect.detect_keypoints(jnp.asarray(img), jnp.float32(2.0),
+                                 bin_size=16, capacity=64, border=16,
+                                 detector="KAZE")
+    uv = np.asarray(kp.uv)[np.asarray(kp.valid)]
+    assert len(uv) >= 3
+    for r, c in [(30, 40), (60, 100), (90, 60)]:
+        d = np.linalg.norm(uv - np.array([c, r]), axis=1).min()
+        assert d < 4.0, (r, c, d)

@@ -259,7 +259,8 @@ class ParameterCollection:
             bad("command_line.tracker_mode", f"= {cl.tracker_mode!r} "
                 "(RGB_STEREO | RGB_DEPTH)")
         if fp.detector_type not in ("FAST", "FAST9", "FAST12", "AGAST",
-                                    "HARRIS", "GFTT", "SHI_TOMASI", "DOG"):
+                                    "HARRIS", "GFTT", "SHI_TOMASI", "DOG",
+                                    "KAZE", "AKAZE"):
             bad("framepoint_generation.detector_type", f"= {fp.detector_type!r}")
         if fp.descriptor_type not in ("BRIEF256", "BRIEF256R", "ORB256"):
             bad("framepoint_generation.descriptor_type",
@@ -350,8 +351,8 @@ _GROUP_KEY_ALIASES = {
 _DETECTOR_ALIASES = {
     "SIFT": "DOG",
     "SURF": "DOG",
-    "KAZE": "DOG",
-    "AKAZE": "DOG",
+    # KAZE/AKAZE are REAL nonlinear-diffusion detectors here
+    # (frontend/detect.kaze_score_map), no longer aliases.
     "BRISK": "FAST",
     "ORB": "FAST",
 }

@@ -561,14 +561,15 @@ class FusedPoseTracker:
         # Pipelined-drain bookkeeping: a QUEUE of in-flight drain-bundle
         # outputs (device arrays of already-enqueued gather programs), each
         # with the frame count it covers and its keyframe-window start.
-        # The oldest bundle is fetched only once `_bundle_lag` newer ones
-        # exist: its async D2H copy (started at dispatch) then has a full
-        # chunk's execution window to land on host, so the blocking fetch
-        # finds the bytes already local (~0-10 ms vs 80-150 ms cold).
+        # The async D2H copies started at dispatch give the fetch a head
+        # start; an EXTRA chunk of lag (_bundle_lag=1) bought no measured
+        # throughput on either the 128-frame bench or the 1024-frame scale
+        # run and slightly worsened ATE via closure latency, so bundles
+        # are fetched at the next drain point (lag 0).
         from collections import deque
 
         self._bundles = deque()
-        self._bundle_lag = 1
+        self._bundle_lag = 0
         # On CPU (tests) transfers are ~free: ship/harvest every frame so
         # the engine sees exact per-frame poses.  Over the TPU tunnel,
         # batch both directions (see compute()).
